@@ -1,0 +1,147 @@
+"""Intensity (photometric) augmentations, batched on device.
+
+Contract: the kornia pipeline of `pipelines.py:508-528` and
+`datatransformation/batch/intensity.py`:
+  stage 1 (random_apply=4 of 6): equalize p=.2, posterize(4-6) p=.01,
+           gamma(.5-2) p=.2, contrast(.7-1.5) p=.2, brightness(.7-1.5) p=.2,
+           gaussian blur 5x5 sigma 1.5 p=.1
+  stage 2: stacked gaussian noise sigma in {4,16,32,64}/255 at p=.25^k, clip.
+
+Deviation from kornia: kornia's random_apply=4 picks 4 ops per BATCH then
+applies each with its per-sample probability. Here every op is gated
+per-sample with probability p * 4/6, preserving the marginal application rate
+while decorrelating samples (branch-free, jit-friendly). Images are floats in
+[0, 1], shape (B, H, W, C).
+"""
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _per_sample_where(mask, a, b):
+    return jnp.where(mask[:, None, None, None], a, b)
+
+
+def equalize(images: jax.Array) -> jax.Array:
+    """Histogram equalization per image (torchvision algorithm, branch-free)."""
+
+    def eq_one(img):
+        flat = jnp.clip(img * 255.0, 0.0, 255.0).astype(jnp.int32).reshape(-1)
+        hist = jnp.zeros((256,), jnp.float32).at[flat].add(1.0)
+        nonzero = hist > 0
+        # Index of the last nonzero bin.
+        idx = jnp.arange(256)
+        last_nz = jnp.max(jnp.where(nonzero, idx, -1))
+        last_count = hist[last_nz]
+        step = jnp.floor((jnp.sum(hist) - last_count) / 255.0)
+        cum = jnp.cumsum(hist)
+        lut = jnp.floor((cum + step / 2.0) / jnp.maximum(step, 1.0))
+        lut = jnp.clip(jnp.concatenate([jnp.zeros((1,)), lut[:-1]]), 0.0, 255.0)
+        out = lut[flat].reshape(img.shape) / 255.0
+        return jnp.where(step == 0, img, out)
+
+    return jax.vmap(eq_one)(images)
+
+
+def posterize(images: jax.Array, bits: jax.Array) -> jax.Array:
+    """Keep the top `bits` bits of each 8-bit pixel; bits shape (B,)."""
+    x = jnp.clip(images * 255.0, 0.0, 255.0).astype(jnp.int32)
+    shift = (8 - bits).astype(jnp.int32)[:, None, None, None]
+    x = jnp.right_shift(x, shift)
+    x = jnp.left_shift(x, shift)
+    return x.astype(jnp.float32) / 255.0
+
+
+def adjust_gamma(images: jax.Array, gamma: jax.Array) -> jax.Array:
+    return jnp.power(jnp.clip(images, 1e-8, 1.0), gamma[:, None, None, None])
+
+
+def adjust_contrast(images: jax.Array, factor: jax.Array) -> jax.Array:
+    """Multiplicative contrast (kornia adjust_contrast), clamped to [0, 1]."""
+    return jnp.clip(images * factor[:, None, None, None], 0.0, 1.0)
+
+
+def adjust_brightness(images: jax.Array, factor: jax.Array) -> jax.Array:
+    """Additive brightness shift of (factor - 1) (kornia RandomBrightness), clamped."""
+    return jnp.clip(images + (factor - 1.0)[:, None, None, None], 0.0, 1.0)
+
+
+def _gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(images: jax.Array, ksize: int = 5, sigma: float = 1.5) -> jax.Array:
+    """Separable depthwise gaussian blur with reflect padding (kornia default)."""
+    C = images.shape[-1]
+    k = jnp.asarray(_gaussian_kernel1d(ksize, sigma))
+    pad = ksize // 2
+    x = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    kern_h = jnp.tile(k[:, None, None, None], (1, 1, 1, C))
+    x = jax.lax.conv_general_dilated(
+        x, kern_h, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+    )
+    kern_w = jnp.tile(k[None, :, None, None], (1, 1, 1, C))
+    x = jax.lax.conv_general_dilated(
+        x, kern_w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+    )
+    return x
+
+
+def intensity_augmentation_stage1(
+    key: jax.Array, images: jax.Array, random_apply_fraction: float = 4.0 / 6.0
+) -> jax.Array:
+    """Equalize/posterize/gamma/contrast/brightness/blur with per-sample gating."""
+    B = images.shape[0]
+    keys = jax.random.split(key, 12)
+    f = random_apply_fraction
+
+    x = images
+    m = jax.random.bernoulli(keys[0], 0.2 * f, (B,))
+    x = _per_sample_where(m, equalize(x), x)
+
+    m = jax.random.bernoulli(keys[1], 0.01 * f, (B,))
+    bits = jax.random.randint(keys[2], (B,), 4, 7)  # 4..6 inclusive
+    x = _per_sample_where(m, posterize(x, bits), x)
+
+    m = jax.random.bernoulli(keys[3], 0.2 * f, (B,))
+    gamma = jax.random.uniform(keys[4], (B,), minval=0.5, maxval=2.0)
+    x = _per_sample_where(m, adjust_gamma(x, gamma), x)
+
+    m = jax.random.bernoulli(keys[5], 0.2 * f, (B,))
+    contrast = jax.random.uniform(keys[6], (B,), minval=0.7, maxval=1.5)
+    x = _per_sample_where(m, adjust_contrast(x, contrast), x)
+
+    m = jax.random.bernoulli(keys[7], 0.2 * f, (B,))
+    brightness = jax.random.uniform(keys[8], (B,), minval=0.7, maxval=1.5)
+    x = _per_sample_where(m, adjust_brightness(x, brightness), x)
+
+    m = jax.random.bernoulli(keys[9], 0.1 * f, (B,))
+    x = _per_sample_where(m, gaussian_blur(x, 5, 1.5), x)
+    return x
+
+
+def intensity_augmentation_noise(key: jax.Array, images: jax.Array) -> jax.Array:
+    """Stacked gaussian noise at sigma 4/16/32/64 (over 255) with p = 0.25^k, then clip."""
+    B = images.shape[0]
+    x = images
+    keys = jax.random.split(key, 8)
+    for i, sigma255 in enumerate((4.0, 16.0, 32.0, 64.0)):
+        p = 0.25 ** (i + 1)
+        m = jax.random.bernoulli(keys[2 * i], p, (B,))
+        noise = jax.random.normal(keys[2 * i + 1], x.shape) * (sigma255 / 255.0)
+        x = x + noise * m[:, None, None, None].astype(x.dtype)
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def intensity_augmentation(key: jax.Array, images: jax.Array) -> jax.Array:
+    k1, k2 = jax.random.split(key)
+    x = intensity_augmentation_stage1(k1, images)
+    return intensity_augmentation_noise(k2, x)
