@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Benchmark: training throughput (augmentation + forward + backward + update)
+in images/sec on one chip, on the flagship pose-estimator configuration.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference (opentrack/neuralnet-tracker-traincode) publishes no
+throughput numbers (SURVEY.md section 6). `REFERENCE_BASELINE_IPS` below is an
+estimate of the single-A100 PyTorch pipeline throughput at the default config
+(MobileNetV1 bs64, CPU-worker cv2/kornia augmentation — which bottlenecks the
+GPU): ~3000 images/s. vs_baseline is measured/estimated; the BASELINE.json
+target is vs_baseline >= 5.
+"""
+
+import json
+import os
+import sys
+import time
+from os.path import dirname, realpath
+
+sys.path.insert(0, dirname(realpath(__file__)))
+
+REFERENCE_BASELINE_IPS = 3000.0
+
+# Default config mirrors the reference's training run: MobileNetV1, batch 64,
+# NLL heads on, full augmentation, 450x450 sources (300W-LP image size).
+BATCH = int(os.environ.get("BENCH_BATCH", 128))
+SRC = int(os.environ.get("BENCH_SRC", 448))
+STEPS = int(os.environ.get("BENCH_STEPS", 30))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neuralnet_tracker_traincode_tpu.augmentation.pipeline import TrainAugmentationConfig
+    from neuralnet_tracker_traincode_tpu.data.fields import Tag
+    from neuralnet_tracker_traincode_tpu.data.loader import LABEL_CATEGORIES
+    from neuralnet_tracker_traincode_tpu.losses import losses as L, nll as NLL
+    from neuralnet_tracker_traincode_tpu.losses.criterion import (
+        Criterion,
+        CriterionGroup,
+        MaskedMultiTaskCriterion,
+    )
+    from neuralnet_tracker_traincode_tpu.models.posenet import NetworkWithPointHead
+    from neuralnet_tracker_traincode_tpu.parallel.mesh import make_mesh, shard_batch
+    from neuralnet_tracker_traincode_tpu.train.loop import PoseTrainer, TrainerConfig
+
+    model = NetworkWithPointHead(
+        enable_point_head=True, enable_uncertainty=True, config="mobilenetv1",
+        dtype=jnp.bfloat16,
+    )
+    criterion = MaskedMultiTaskCriterion(
+        {
+            Tag.POSE_WITH_LANDMARKS: CriterionGroup(
+                [
+                    Criterion("nllrot", NLL.QuatPoseNLLLoss(), 0.005),
+                    Criterion("nllcoord", NLL.CorrelatedCoordPoseNLLLoss(), 0.005),
+                    Criterion("rot", L.QuatPoseLoss("approx_distance"), 1.0),
+                    Criterion("xy", L.PoseXYLoss("l2"), 0.25),
+                    Criterion("sz", L.PoseSizeLoss("l2"), 0.25),
+                    Criterion("points3d", L.Points3dLoss("l2", chin_weight=0.8), 0.5),
+                    Criterion("box", L.BoxLoss("l2"), 0.01),
+                    Criterion("quatreg", L.QuaternionNormalizationSoftConstraint(), 1e-6),
+                ]
+            )
+        },
+        [Tag.POSE_WITH_LANDMARKS],
+    )
+    cfg = TrainerConfig(
+        batchsize=BATCH, epochs=100, samples_per_epoch=10240,
+        aug=TrainAugmentationConfig(inputsize=129, enable_image_aug=True),
+    )
+    mesh = make_mesh()
+    trainer = PoseTrainer(model, criterion, cfg, LABEL_CATEGORIES, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), (129, 129, 1))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": (rng.rand(BATCH, SRC, SRC, 1) * 255).astype(np.uint8),
+        "pose": np.tile(np.asarray([0.0, 0, 0, 1], np.float32), (BATCH, 1)),
+        "coord": (rng.rand(BATCH, 3) * 100 + 100).astype(np.float32),
+        "roi": np.tile(np.asarray([100.0, 100, 350, 350], np.float32), (BATCH, 1)),
+        "pt3d_68": (rng.rand(BATCH, 68, 3) * 200 + 100).astype(np.float32),
+        "shapeparam": rng.randn(BATCH, 50).astype(np.float32),
+        "hasface": np.full((BATCH,), 0.9, np.float32),
+        "coord_convention_id": np.zeros((BATCH,), np.int32),
+        "tag_id": np.zeros((BATCH,), np.int32),
+        "dataset_weight": np.ones((BATCH,), np.float32),
+        "param_index": np.arange(BATCH, dtype=np.int32),
+    }
+    sharded = shard_batch(batch, mesh)
+    W = trainer.weight_matrix(50)
+    key = jax.random.PRNGKey(7)
+
+    # Warmup / compile
+    state, metrics = trainer.train_step(state, sharded, W, key)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = trainer.train_step(state, sharded, W, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / STEPS
+    n_chips = len(jax.devices())
+    ips_per_chip = BATCH / dt / n_chips
+
+    print(
+        json.dumps(
+            {
+                "metric": "train images/sec/chip (aug+fwd+bwd)",
+                "value": round(ips_per_chip, 1),
+                "unit": "images/s/chip",
+                "vs_baseline": round(ips_per_chip / REFERENCE_BASELINE_IPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,11 +52,24 @@ def transform_points(tr: Affine2d, points: jax.Array) -> jax.Array:
     return jnp.concatenate([xy, z], axis=-1)
 
 
+import numpy as _np
+
+# Permutation as a matrix: gathers with compile-time-constant indices hit a
+# catastrophic slow path on the TPU backend (~25 ms fixed cost per gather);
+# the 68x68 constant matmul is effectively free.
+_flip_perm = _np.zeros((68, 68), _np.float32)
+_flip_perm[_np.arange(68), _np.asarray(_flip_map)] = 1.0
+
+
 def transform_keypoints(tr: Affine2d, points: jax.Array) -> jax.Array:
     """Like transform_points but reindexes the 68 landmarks under reflection."""
     out = transform_points(tr, points)
-    flip_idx = jnp.asarray(_flip_map)
-    flipped = jnp.take(out, flip_idx, axis=-2)
+    flipped = jnp.einsum(
+        "pq,...qd->...pd",
+        jnp.asarray(_flip_perm, out.dtype),
+        out,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     det = tr.det
     mask = (det < 0.0).reshape(det.shape + (1, 1))
     return jnp.where(mask, flipped, out)

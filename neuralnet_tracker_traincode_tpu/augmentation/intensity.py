@@ -27,11 +27,17 @@ def _per_sample_where(mask, a, b):
 
 
 def equalize(images: jax.Array) -> jax.Array:
-    """Histogram equalization per image (torchvision algorithm, branch-free)."""
+    """Histogram equalization per image (torchvision algorithm, branch-free).
+
+    The histogram is a one-hot contraction rather than a scatter-add — XLA:TPU
+    lowers scatters to a serial loop, while the 256-bin one-hot matmul rides
+    the MXU. The LUT is likewise applied with a matmul instead of a gather.
+    """
 
     def eq_one(img):
         flat = jnp.clip(img * 255.0, 0.0, 255.0).astype(jnp.int32).reshape(-1)
-        hist = jnp.zeros((256,), jnp.float32).at[flat].add(1.0)
+        onehot = jax.nn.one_hot(flat, 256, dtype=jnp.float32)  # (P, 256)
+        hist = jnp.sum(onehot, axis=0)
         nonzero = hist > 0
         # Index of the last nonzero bin.
         idx = jnp.arange(256)
@@ -41,7 +47,8 @@ def equalize(images: jax.Array) -> jax.Array:
         cum = jnp.cumsum(hist)
         lut = jnp.floor((cum + step / 2.0) / jnp.maximum(step, 1.0))
         lut = jnp.clip(jnp.concatenate([jnp.zeros((1,)), lut[:-1]]), 0.0, 255.0)
-        out = lut[flat].reshape(img.shape) / 255.0
+        out = jnp.matmul(onehot, lut, precision=jax.lax.Precision.HIGHEST).reshape(img.shape)
+        out = out / 255.0
         return jnp.where(step == 0, img, out)
 
     return jax.vmap(eq_one)(images)
@@ -129,15 +136,21 @@ def intensity_augmentation_stage1(
 
 
 def intensity_augmentation_noise(key: jax.Array, images: jax.Array) -> jax.Array:
-    """Stacked gaussian noise at sigma 4/16/32/64 (over 255) with p = 0.25^k, then clip."""
+    """Stacked gaussian noise at sigma 4/16/32/64 (over 255) with p = 0.25^k, then clip.
+
+    The k independent gaussian layers sum to one gaussian with combined
+    variance, so a single noise draw scaled per-sample by
+    sqrt(sum(applied sigma_k^2)) is statistically identical to the reference's
+    stacked kornia RandomGaussianNoise ops — one RNG pass instead of four.
+    """
     B = images.shape[0]
-    x = images
-    keys = jax.random.split(key, 8)
-    for i, sigma255 in enumerate((4.0, 16.0, 32.0, 64.0)):
-        p = 0.25 ** (i + 1)
-        m = jax.random.bernoulli(keys[2 * i], p, (B,))
-        noise = jax.random.normal(keys[2 * i + 1], x.shape) * (sigma255 / 255.0)
-        x = x + noise * m[:, None, None, None].astype(x.dtype)
+    k_mask, k_noise = jax.random.split(key)
+    sigmas = jnp.asarray([4.0, 16.0, 32.0, 64.0]) / 255.0
+    probs = jnp.asarray([0.25, 0.25**2, 0.25**3, 0.25**4])
+    applied = jax.random.bernoulli(k_mask, probs[None, :], (B, 4))
+    sigma_combined = jnp.sqrt(jnp.sum(jnp.square(sigmas)[None, :] * applied, axis=-1))
+    noise = jax.random.normal(k_noise, images.shape)
+    x = images + noise * sigma_combined[:, None, None, None]
     return jnp.clip(x, 0.0, 1.0)
 
 

@@ -43,6 +43,7 @@ class TrainAugmentationConfig(NamedTuple):
     enable_flip: bool = True
     oversample: int = 2
     roi_key: str = "roi"
+    deterministic: bool = False  # validation: fixed crop, no flip/intensity
 
 
 _POINTISH = (FieldCategory.points, FieldCategory.xys)
@@ -98,14 +99,17 @@ def augment_batch_for_training(
 
     labels = _offset_half_pixel(labels, categories)
 
-    params = make_roi_randomization_parameters(
-        k_roi, (B,), cfg.rotation_aug_angle, cfg.extension_factor
-    )
-    if param_index is not None:
-        params = share_params_within_sequences(params, param_index)
+    if cfg.deterministic:
+        params = no_roi_randomization((B,), cfg.extension_factor)
+    else:
+        params = make_roi_randomization_parameters(
+            k_roi, (B,), cfg.rotation_aug_angle, cfg.extension_factor
+        )
+        if param_index is not None:
+            params = share_params_within_sequences(params, param_index)
     tr = focus_roi_transform(labels[cfg.roi_key], params, cfg.inputsize)
 
-    if cfg.enable_flip:
+    if cfg.enable_flip and not cfg.deterministic:
         tr_fliprot = random_flip_rot90_transform(k_fliprot, (B,), cfg.inputsize, cfg.p_flip_rot90)
         if param_index is not None:
             tr_fliprot = Affine2d(tr_fliprot.tensor()[param_index])
@@ -116,7 +120,7 @@ def augment_batch_for_training(
     labels = _normalize_labels(labels, categories, cfg.inputsize)
 
     x = warped * (1.0 / 256.0)
-    if cfg.enable_image_aug:
+    if cfg.enable_image_aug and not cfg.deterministic:
         x = intensity_augmentation(k_intensity, x)
     x = x - 0.5  # whiten
     return x, labels

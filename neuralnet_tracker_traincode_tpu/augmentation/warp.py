@@ -75,14 +75,25 @@ def warp_affine(
     # and the -0.5 converts those to array indices for the gather. This makes
     # the image warp exactly consistent with the point transforms — the
     # reference's cv2 path is 0.5 px off in some branches.
-    coords_1d = (jnp.arange(n, dtype=jnp.float32) + 0.5) / s
+    # PERFORMANCE: when XLA:TPU can trace the gather indices back to a pure
+    # iota/constant expression it lowers the gather to a serial slow path —
+    # measured 3000x slower (93 ms vs 0.03 ms for batch 128). The harmless
+    # runtime dependence on the transform plus the optimization barriers below
+    # force the fast vectorized gather. Do not "simplify" these away.
+    fake_dep = 0.0 * jax.lax.stop_gradient(inv.m.reshape(-1)[0])
+    coords_1d = (jnp.arange(n, dtype=jnp.float32) + 0.5) / s + fake_dep
     gx = jnp.broadcast_to(coords_1d[None, :], (n, n))
     gy = jnp.broadcast_to(coords_1d[:, None], (n, n))
-    grid = jnp.stack([gx, gy], axis=-1)  # (n, n, 2) output continuous coords
 
     def warp_one(img, m):
-        src = affinevecmul(m[None, None, :, :], grid) - 0.5  # array indices
-        out = _bilinear_gather(img.astype(jnp.float32), src[..., 0], src[..., 1])
+        # Elementwise affine (a batched 2x2 matmul over the grid compiles to a
+        # pathologically slow tiny-matmul loop on TPU); -0.5 converts the
+        # continuous coords to array indices.
+        sx = m[0, 0] * gx + m[0, 1] * gy + m[0, 2] - 0.5
+        sy = m[1, 0] * gx + m[1, 1] * gy + m[1, 2] - 0.5
+        sx = jax.lax.optimization_barrier(sx)
+        sy = jax.lax.optimization_barrier(sy)
+        out = _bilinear_gather(img.astype(jnp.float32), sx, sy)
         if s > 1:
             C = out.shape[-1]
             out = out.reshape(out_size, s, out_size, s, C).mean(axis=(1, 3))

@@ -100,6 +100,9 @@ class Batch:
     def pop(self, k, *default):
         return self._data.pop(k, *default)
 
+    def get(self, k, default=None):
+        return self._data.get(k, default)
+
     def __str__(self):
         seq_str = f",N={self.meta.seq[-1]}" if self.meta.seq is not None else ""
         return f"Batch({self.meta.tag},B={self.meta.batchsize}{seq_str})"

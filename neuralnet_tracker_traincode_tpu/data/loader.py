@@ -1,0 +1,207 @@
+"""Host input pipeline: sample loading, fixed-shape batch packing, prefetch.
+
+Replaces the reference's multi-process torch DataLoader + pinned-memory
+transfer (`datatransformation/loader.py`, `pipelines.py:534-543`). The host
+only reads HDF5 rows, decodes JPEGs and packs numpy batches of STATIC shape
+(images zero-padded to a fixed size, missing label fields zero-filled, tags as
+ints); a background thread keeps a prefetch queue full and batches are placed
+on the device mesh asynchronously. All augmentation happens on device.
+"""
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from neuralnet_tracker_traincode_tpu.data.batch import Batch
+from neuralnet_tracker_traincode_tpu.data.fields import FieldCategory, Tag
+
+# Fused-batch label schema: every batch carries all fields; missing ones are
+# zero-filled and masked by the per-tag loss weights.
+LABEL_SCHEMA = {
+    "pose": (4,),
+    "coord": (3,),
+    "roi": (4,),
+    "pt3d_68": (68, 3),
+    "shapeparam": (50,),
+    "hasface": (),
+}
+
+LABEL_CATEGORIES = {
+    "pose": FieldCategory.quat,
+    "coord": FieldCategory.xys,
+    "roi": FieldCategory.roi,
+    "pt3d_68": FieldCategory.points,
+    "shapeparam": FieldCategory.general,
+    "hasface": FieldCategory.general,
+}
+
+
+def pack_fused_batch(
+    samples: Sequence[Batch],
+    tag_ids: Sequence[int],
+    pad_size: int,
+    dataset_weights: Optional[Sequence[float]] = None,
+) -> Dict[str, np.ndarray]:
+    """Pack per-sample Batches into one fixed-shape fused batch dict.
+
+    Images are zero-padded into (B, pad_size, pad_size, C) WITHOUT rescaling so
+    pixel coordinates stay valid. Samples may be single frames or sequences
+    (sequences contribute their frames with a shared param_index).
+    """
+    frames: List[Batch] = []
+    frame_tags: List[int] = []
+    frame_weights: List[float] = []
+    param_index: List[int] = []
+    for si, s in enumerate(samples):
+        start = len(frames)
+        if s.meta.seq:
+            subframes = [f for seq in s.undo_collate() for f in seq.iter_frames()]
+        else:
+            subframes = [s]
+        for f in subframes:
+            frames.append(f)
+            frame_tags.append(tag_ids[si])
+            frame_weights.append(1.0 if dataset_weights is None else dataset_weights[si])
+            param_index.append(start)
+
+    B = len(frames)
+    first_img = np.asarray(frames[0]["image"])
+    C = first_img.shape[-1]
+    images = np.zeros((B, pad_size, pad_size, C), np.uint8)
+    out: Dict[str, np.ndarray] = {}
+    for k, shape in LABEL_SCHEMA.items():
+        out[k] = np.zeros((B,) + shape, np.float32)
+    out["coord_convention_id"] = np.zeros((B,), np.int32)
+    present = np.zeros((B,), bool)
+
+    for i, f in enumerate(frames):
+        img = np.asarray(f["image"])
+        h, w = img.shape[:2]
+        assert h <= pad_size and w <= pad_size, f"image {h}x{w} exceeds pad_size {pad_size}"
+        images[i, :h, :w, :] = img
+        for k in LABEL_SCHEMA:
+            if k in f:
+                v = np.asarray(f[k])
+                if v.dtype == np.bool_ or k == "hasface":
+                    # Label smoothing of binary labels (reference normalize_batch).
+                    v = np.where(v.astype(np.float32) > 0.5, 0.9, 0.1)
+                out[k][i] = v.astype(np.float32)
+        if "coord_convention_id" in f:
+            out["coord_convention_id"][i] = int(f["coord_convention_id"])
+    out["image"] = images
+    out["tag_id"] = np.asarray(frame_tags, np.int32)
+    out["dataset_weight"] = np.asarray(frame_weights, np.float32)
+    out["param_index"] = np.asarray(param_index, np.int32)
+    return out
+
+
+class FusedBatchLoader:
+    """Iterates fixed-size fused training batches with background prefetch.
+
+    datasets: list of (dataset, tag) pairs; sampler yields global indices into
+    their concatenation. Each batch draws `batchsize` FRAMES (sequences count
+    with their length).
+    """
+
+    def __init__(
+        self,
+        concat_dataset,
+        tags_by_dataset_index: Callable[[int], Any],
+        tag_to_id: Dict[Any, int],
+        sampler: Iterable[int],
+        batchsize: int,
+        pad_size: int,
+        dataset_weight_by_index: Optional[Callable[[int], float]] = None,
+        prefetch: int = 4,
+    ):
+        self.ds = concat_dataset
+        self.tags_by_dataset_index = tags_by_dataset_index
+        self.tag_to_id = tag_to_id
+        self.sampler = sampler
+        self.batchsize = batchsize
+        self.pad_size = pad_size
+        self.dataset_weight_by_index = dataset_weight_by_index
+        self.prefetch = prefetch
+        self._cumsizes = np.asarray(self.ds.cumulative_sizes)
+
+    def _dataset_index(self, global_index: int) -> int:
+        return int(np.searchsorted(self._cumsizes, global_index, side="right"))
+
+    def _make_batch(self, index_iter) -> Dict[str, np.ndarray]:
+        samples, tag_ids, weights = [], [], []
+        frames = 0
+        while frames < self.batchsize:
+            gi = next(index_iter)
+            s = self.ds[gi]
+            dsi = self._dataset_index(gi)
+            tag = self.tags_by_dataset_index(dsi)
+            n = s.meta.seq[-1] if s.meta.seq else 1
+            if frames + n > self.batchsize and samples:
+                break  # keep shape static; drop back the long sequence
+            samples.append(s)
+            tag_ids.append(self.tag_to_id[tag])
+            weights.append(
+                1.0
+                if self.dataset_weight_by_index is None
+                else self.dataset_weight_by_index(dsi)
+            )
+            frames += n
+        batch = pack_fused_batch(samples, tag_ids, self.pad_size, weights)
+        B = batch["tag_id"].shape[0]
+        if B < self.batchsize:
+            # Pad with repeats of the first frame at weight 0 to keep shapes static.
+            def pad(v):
+                reps = np.repeat(v[:1], self.batchsize - B, axis=0)
+                return np.concatenate([v, reps], axis=0)
+
+            batch = {k: pad(v) for k, v in batch.items()}
+            batch["dataset_weight"][B:] = 0.0
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        index_iter = iter(self.sampler)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                while True:
+                    q.put(self._make_batch(index_iter))
+            except StopIteration:
+                q.put(stop)
+            except Exception as e:  # propagate into the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+def device_prefetch(iterator, mesh, size: int = 2):
+    """Move batches onto the mesh ahead of consumption (double buffering)."""
+    from neuralnet_tracker_traincode_tpu.parallel.mesh import shard_batch
+
+    import collections
+
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(shard_batch(next(it), mesh))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(shard_batch(next(it), mesh))
+        except StopIteration:
+            pass
+        yield out

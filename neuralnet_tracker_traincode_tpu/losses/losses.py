@@ -136,7 +136,9 @@ class Points3dLoss:
         pointweights[kpts68.chin_left[:-1]] = chin_weight
         pointweights[kpts68.chin_right[1:]] = chin_weight
         pointweights[kpts68.eye_not_corners] = eye_weights
-        self.pointweights = jnp.asarray(pointweights)
+        # Keep as numpy: eagerly-created device arrays captured as jit
+        # constants trigger a catastrophic slow path on the TPU backend.
+        self.pointweights = pointweights
 
     def __call__(self, pred, sample):
         p = pred[self._prefix + "pt3d_68"][..., : self.pointdimension]

@@ -51,7 +51,8 @@ class MixWithUniformProbability:
 
     def __init__(self, state_space_volume: float):
         self.log_uniform_prob = -math.log(state_space_volume)
-        self.log_weights = jnp.log(jnp.asarray([0.999, 0.001]))
+        # numpy, not device array: see losses.py pointweights comment.
+        self.log_weights = np.log(np.asarray([0.999, 0.001], np.float32))
 
     def __call__(self, log_prob):
         log_uniform = jnp.full_like(log_prob, self.log_uniform_prob)
@@ -62,7 +63,9 @@ class MixWithUniformProbability:
 class CoordPoseNLLLoss:
     def __init__(self, xy_weight: float, head_size_weight: float,
                  distribution: SimpleDistributionSwitch = "gaussian"):
-        self.weights = jnp.asarray([xy_weight / 2.0, xy_weight / 2.0, head_size_weight])
+        self.weights = np.asarray(
+            [xy_weight / 2.0, xy_weight / 2.0, head_size_weight], np.float32
+        )
         self._log_prob = _LOG_PROB[distribution]
 
     def __call__(self, preds, sample):
@@ -102,7 +105,7 @@ class Points3dNLLLoss:
         pointweights[kpts68.chin_left[:-1]] = chin_weight
         pointweights[kpts68.chin_right[1:]] = chin_weight
         pointweights[kpts68.eye_not_corners] = eye_weight
-        self.pointweights = jnp.asarray(pointweights)
+        self.pointweights = pointweights
         self.pointdimension = pointdimension
 
     def __call__(self, preds, sample):

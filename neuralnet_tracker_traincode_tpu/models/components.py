@@ -95,9 +95,11 @@ class GaussianMixture:
         assert weights.shape == means.shape[:1] == cov.shape[:1]
         assert means.shape == cov.shape
         self.cov = cov
-        self.weights = jnp.asarray(weights)
-        self.means = jnp.asarray(means)
-        self.scales_inv = jnp.asarray(1.0 / np.sqrt(cov))
+        # numpy, not device arrays: eager device-array constants captured in
+        # jit trigger a catastrophic slow path on the TPU backend.
+        self.weights = weights
+        self.means = means
+        self.scales_inv = 1.0 / np.sqrt(cov)
         D = means.shape[-1]
         self.norm_constant = 0.5 * D * np.log(2 * np.pi)
 
@@ -132,7 +134,7 @@ class GaussianMixture:
     def __call__(self, x: jax.Array) -> jax.Array:
         """Log-likelihood, x shape (..., D)."""
         delta = x[..., None, :] - self.means
-        weight_term = jnp.log(self.weights)
+        weight_term = np.log(self.weights)
         exponential_term = -0.5 * jnp.sum(jnp.square(delta * self.scales_inv), axis=-1)
         normalization_term = jnp.sum(jnp.log(self.scales_inv), axis=-1) - self.norm_constant
         return jax.scipy.special.logsumexp(

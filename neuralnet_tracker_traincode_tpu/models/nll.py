@@ -78,9 +78,13 @@ def fill_triangular_matrix(dim: int, z: jax.Array) -> jax.Array:
     Contract: `negloglikelihood.py:187-222`.
     """
     if dim == 3:
-        m = z[..., jnp.asarray([0, 0, 0, 3, 1, 0, 4, 5, 2])].reshape(z.shape[:-1] + (3, 3))
-        mask = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 1.0, 0.0], [1.0, 1.0, 1.0]], z.dtype)
-        return m * mask
+        # Stack-based construction: a constant-index gather here costs ~25 ms
+        # on the TPU backend; explicit slicing + stacking is free.
+        zero = jnp.zeros_like(z[..., 0])
+        row0 = jnp.stack([z[..., 0], zero, zero], axis=-1)
+        row1 = jnp.stack([z[..., 3], z[..., 1], zero], axis=-1)
+        row2 = jnp.stack([z[..., 4], z[..., 5], z[..., 2]], axis=-1)
+        return jnp.stack([row0, row1, row2], axis=-2)
     irow, icol = np.tril_indices(dim, -1)
     m = jnp.zeros(z.shape[:-1] + (dim, dim), z.dtype)
     m = m.at[..., irow, icol].set(z[..., dim:])

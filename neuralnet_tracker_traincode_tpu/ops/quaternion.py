@@ -88,44 +88,40 @@ def from_matrix(m: jax.Array) -> jax.Array:
     shape = m.shape[:-2]
     m = m.reshape((-1, 3, 3))
 
-    diag = m[:, jnp.asarray([0, 1, 2]), jnp.asarray([0, 1, 2])]  # (N, 3)
-    combo = jnp.asarray(
+    # All element accesses are explicit static slices: constant-index gathers
+    # hit a catastrophic slow path on the TPU backend.
+    m00, m01, m02 = m[:, 0, 0], m[:, 0, 1], m[:, 0, 2]
+    m10, m11, m12 = m[:, 1, 0], m[:, 1, 1], m[:, 1, 2]
+    m20, m21, m22 = m[:, 2, 0], m[:, 2, 1], m[:, 2, 2]
+
+    sqrt_args = jnp.stack(
         [
-            [-1.0, -1.0, 1.0],  # 4 qk^2 - 1
-            [-1.0, 1.0, -1.0],  # 4 qj^2 - 1
-            [1.0, -1.0, -1.0],  # 4 qi^2 - 1
-            [1.0, 1.0, 1.0],  # 4 qw^2 - 1
+            -m00 - m11 + m22 + 1.0,  # 4 qk^2
+            -m00 + m11 - m22 + 1.0,  # 4 qj^2
+            m00 - m11 - m22 + 1.0,  # 4 qi^2
+            m00 + m11 + m22 + 1.0,  # 4 qw^2
         ],
-        dtype=m.dtype,
+        axis=-1,
     )
-    sqrt_args = jnp.clip(
-        jnp.matmul(diag, combo.T, precision=jax.lax.Precision.HIGHEST) + 1.0, 1.0e-6, None
-    )  # (N, 4)
+    sqrt_args = jnp.clip(sqrt_args, 1.0e-6, None)  # (N, 4)
     qx_from_x = 0.5 * jnp.sqrt(sqrt_args)  # columns: qk, qj, qi, qw
-
-    idx1 = jnp.asarray([1, 2, 1, 0, 1, 1, 2, 1, 0, 2, 0, 1])
-    idx2 = jnp.asarray([0, 0, 2, 2, 0, 2, 1, 0, 2, 1, 2, 0])
-    signs = jnp.asarray(
-        [-1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0], dtype=m.dtype
-    )
-    denom = jnp.repeat(qx_from_x, 3, axis=-1)  # (N, 12)
-    quat_vals = 0.25 * (m[:, idx1, idx2] + signs * m[:, idx2, idx1]) / denom
-
-    (
-        qw_from_k,
-        qi_from_k,
-        qj_from_k,
-        qw_from_j,
-        qi_from_j,
-        qk_from_j,
-        qw_from_i,
-        qj_from_i,
-        qk_from_i,
-        qi_from_w,
-        qj_from_w,
-        qk_from_w,
-    ) = jnp.moveaxis(quat_vals, -1, 0)
     qk_from_k, qj_from_j, qi_from_i, qw_from_w = jnp.moveaxis(qx_from_x, -1, 0)
+
+    def od(a, b, sign, denom):
+        return 0.25 * (a + sign * b) / denom
+
+    qw_from_k = od(m10, m01, -1.0, qk_from_k)
+    qi_from_k = od(m20, m02, 1.0, qk_from_k)
+    qj_from_k = od(m12, m21, 1.0, qk_from_k)
+    qw_from_j = od(m02, m20, -1.0, qj_from_j)
+    qi_from_j = od(m10, m01, 1.0, qj_from_j)
+    qk_from_j = od(m12, m21, 1.0, qj_from_j)
+    qw_from_i = od(m21, m12, -1.0, qi_from_i)
+    qj_from_i = od(m10, m01, 1.0, qi_from_i)
+    qk_from_i = od(m02, m20, 1.0, qi_from_i)
+    qi_from_w = od(m21, m12, -1.0, qw_from_w)
+    qj_from_w = od(m02, m20, -1.0, qw_from_w)
+    qk_from_w = od(m10, m01, -1.0, qw_from_w)
 
     candidates = jnp.stack(
         [

@@ -1,0 +1,284 @@
+#!/usr/bin/env python
+"""Train the head pose estimator (TPU-native).
+
+Contract: `scripts/train_poseestimator.py` of the reference — same CLI surface
+(dataset mixing mini-DSL "name[:weight]+name2", backbone/NLL/SWA/roi flags,
+fixed 10240-sample epochs) — driving the jitted data-parallel train loop.
+"""
+
+import argparse
+import os
+import sys
+import time
+from collections import defaultdict
+from os.path import dirname, join, realpath
+
+import numpy as np
+
+sys.path.insert(0, join(dirname(realpath(__file__)), ".."))
+
+
+def parse_dataset_definition(arg: str):
+    """Parse "name1[:weight1]+name2[:weight2]+..." into ids + weight overrides."""
+    from neuralnet_tracker_traincode_tpu.data.fields import DatasetId as Id
+
+    dsmap = {
+        "300wlp": Id._300WLP,
+        "synface": Id.SYNFACE,
+        "aflw2k": Id.AFLW2k3d,
+        "biwi": Id.BIWI,
+        "wider": Id.WIDER,
+        "repro_300_wlp": Id.REPO_300WLP,
+        "repro_300_wlp_woextra": Id.REPO_300WLP_WO_EXTRA,
+        "wflw_lp": Id.WFLW_LP,
+        "lapa_megaface_lp": Id.LAPA_MEGAFACE_LP,
+        "panoptic": Id.PANOPTIC_CMU,
+        "replicantface": Id.REPLICANT_FACE,
+    }
+    splitted = arg.split("+")
+    it = (tuple(s.split(":")) for s in splitted if ":" in s)
+    dataset_weights = {dsmap[k]: float(v) for k, v in it}
+    dsids = list(frozenset(dsmap[s.split(":")[0]] for s in splitted))
+    return dsids, dataset_weights
+
+
+def setup_losses(args, tag_order):
+    """Per-tag criterion groups (`train_poseestimator.py:170-285`)."""
+    from neuralnet_tracker_traincode_tpu.data.fields import Tag
+    from neuralnet_tracker_traincode_tpu.losses import losses, nll as NLL
+    from neuralnet_tracker_traincode_tpu.losses.criterion import (
+        Criterion as C,
+        CriterionGroup,
+        MaskedMultiTaskCriterion,
+    )
+
+    if args.enable_6drot:
+        rot_loss = losses.Rot6dReprLoss()
+        rot_constraint = losses.Rot6dNormalizationSoftConstraint()
+    else:
+        rot_loss = losses.QuatPoseLoss("approx_distance")
+        rot_constraint = losses.QuaternionNormalizationSoftConstraint()
+
+    gmm_path = join(
+        dirname(realpath(__file__)), "..", "neuralnet_tracker_traincode_tpu", "facemodel",
+        "assets", "shapeparams_gmm.h5",
+    )
+
+    cregularize = [C("quatregularization1", rot_constraint, 1.0e-6)]
+    poselosses, roilosses, pointlosses, pointlosses25d, shapeparamloss = [], [], [], [], []
+
+    if args.with_nll_loss:
+
+        def ramped_up_nll_weight(multiplier):
+            if args.rampup_nll_losses:
+
+                def wrapped(epoch):
+                    strength = min(1.0, max(0.0, (epoch / args.epochs - 0.1) * 10.0))
+                    return 0.01 * strength * multiplier
+
+                return wrapped
+            return multiplier * 0.01
+
+        poselosses += [
+            C("nllrot", NLL.QuatPoseNLLLoss(), ramped_up_nll_weight(0.5)),
+            C("nllcoord", NLL.CorrelatedCoordPoseNLLLoss(), ramped_up_nll_weight(0.5)),
+        ]
+        if args.with_roi_train:
+            roilosses += [C("nllbox", NLL.BoxNLLLoss(distribution="gaussian"), ramped_up_nll_weight(0.01))]
+        if args.with_pointhead:
+            pointlosses += [
+                C(
+                    "nllpoints3d",
+                    NLL.Points3dNLLLoss(chin_weight=0.8, eye_weight=0.0, distribution="gaussian"),
+                    ramped_up_nll_weight(0.5),
+                )
+            ]
+            pointlosses25d += [
+                C(
+                    "nllpoints3d",
+                    NLL.Points3dNLLLoss(
+                        chin_weight=0.8, eye_weight=0.0, pointdimension=2, distribution="gaussian"
+                    ),
+                    ramped_up_nll_weight(0.5),
+                )
+            ]
+
+    poselosses += [
+        C("rot", rot_loss, 1.0),
+        C("xy", losses.PoseXYLoss("l2"), 0.5 * 0.5),
+        C("sz", losses.PoseSizeLoss("l2"), 0.5 * 0.5),
+    ]
+    if args.with_roi_train:
+        roilosses += [C("box", losses.BoxLoss("l2"), 0.01)]
+    if args.with_pointhead:
+        pointlosses += [C("points3d", losses.Points3dLoss("l2", chin_weight=0.8, eye_weights=0.0), 0.5)]
+        pointlosses25d += [
+            C("points3d", losses.Points3dLoss("l2", pointdimension=2, chin_weight=0.8, eye_weights=0.0), 0.5)
+        ]
+        shapeparamloss += [C("shp_l2", losses.ShapeParameterLoss(), 0.1)]
+        cregularize += [
+            C("nll_shp_gmm", losses.ShapePlausibilityLoss.from_hdf5(gmm_path), 0.1),
+        ]
+
+    G = CriterionGroup
+    train_criterions = {
+        Tag.ONLY_POSE: G(poselosses + cregularize + roilosses),
+        Tag.POSE_WITH_LMKS_NO_SHAPE_PARAMS: G(poselosses + cregularize + pointlosses + roilosses),
+        Tag.POSE_WITH_LANDMARKS: G(
+            poselosses + cregularize + pointlosses + shapeparamloss + roilosses
+        ),
+        Tag.POSE_WITH_LANDMARKS_3D_AND_2D: G(
+            poselosses + cregularize + pointlosses + shapeparamloss + roilosses
+        ),
+        Tag.ONLY_LANDMARKS: G(pointlosses + cregularize),
+        Tag.ONLY_LANDMARKS_25D: G(pointlosses25d + cregularize),
+        Tag.ONLY_LANDMARKS_2D: G(pointlosses25d + cregularize),
+    }
+    present = {t: g for t, g in train_criterions.items() if t in tag_order}
+    return MaskedMultiTaskCriterion(present, tag_order)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Trains the model")
+    parser.add_argument("--backbone", default="mobilenetv1")
+    parser.add_argument("--batchsize", type=int, default=64)
+    parser.add_argument("--lr", type=float, default=1.0e-3)
+    parser.add_argument("--epochs", type=int, default=200)
+    parser.add_argument("--ds", type=str, default="300wlp")
+    parser.add_argument("--with-swa", action="store_true", default=False, dest="swa")
+    parser.add_argument(
+        "--outdir", type=str, default=join(dirname(__file__), "..", "model_files")
+    )
+    parser.add_argument(
+        "--ds-weighting", action="store_false", default=True,
+        dest="ds_weight_are_sampling_frequencies",
+    )
+    parser.add_argument(
+        "--no-pointhead", action="store_false", default=True, dest="with_pointhead"
+    )
+    parser.add_argument("--with-nll-loss", default=False, action="store_true")
+    parser.add_argument("--raug", default=30, type=float, dest="rotation_aug_angle")
+    parser.add_argument("--no-imgaug", default=True, action="store_false", dest="with_image_aug")
+    parser.add_argument("--blurpool", default=False, action="store_true", dest="with_blurpool")
+    parser.add_argument(
+        "--roi-override", default="original", type=str,
+        choices=["extent_to_forehead", "original", "landmarks"],
+    )
+    parser.add_argument("--no-roi-train", default=True, action="store_false", dest="with_roi_train")
+    parser.add_argument("--rampup-nll-losses", default=False, action="store_true")
+    parser.add_argument("--enable-6drot", default=False, action="store_true")
+    parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    parser.add_argument("--pad-size", type=int, default=None)
+    parser.add_argument("--plot-save-filename", default=None)
+    args = parser.parse_args()
+    args.input_size = 129
+
+    import jax
+    import jax.numpy as jnp
+
+    from neuralnet_tracker_traincode_tpu import pipelines
+    from neuralnet_tracker_traincode_tpu.data.loader import LABEL_CATEGORIES, device_prefetch
+    from neuralnet_tracker_traincode_tpu.models.posenet import NetworkWithPointHead
+    from neuralnet_tracker_traincode_tpu.train.loop import (
+        PoseTrainer,
+        TrainerConfig,
+        check_not_nan,
+    )
+    from neuralnet_tracker_traincode_tpu.train.plotting import ConsoleTrainOutput, TrainHistoryPlotter
+
+    dsids, dataset_weights = parse_dataset_definition(args.ds)
+    train_loader, test_set, ds_size, tag_order, aug_cfg = pipelines.make_pose_estimation_loaders(
+        inputsize=args.input_size,
+        batchsize=args.batchsize,
+        datasets=dsids,
+        dataset_weights=dataset_weights,
+        use_weights_as_sampling_frequency=args.ds_weight_are_sampling_frequencies,
+        enable_image_aug=args.with_image_aug,
+        rotation_aug_angle=args.rotation_aug_angle,
+        roi_override=args.roi_override,
+        pad_size=args.pad_size,
+    )
+
+    model = NetworkWithPointHead(
+        enable_point_head=args.with_pointhead,
+        enable_face_detector=False,
+        config=args.backbone,
+        enable_uncertainty=args.with_nll_loss,
+        backbone_args={"use_blurpool": args.with_blurpool},
+        enable_6drot=args.enable_6drot,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+    )
+    criterion = setup_losses(args, tag_order)
+    cfg = TrainerConfig(
+        batchsize=args.batchsize,
+        lr=args.lr,
+        epochs=args.epochs,
+        samples_per_epoch=10 * 1024,
+        swa_start_epoch=(args.epochs * 2 // 3) if args.swa else None,
+        aug=aug_cfg,
+    )
+    trainer = PoseTrainer(model, criterion, cfg, LABEL_CATEGORIES)
+    state = trainer.init_state(jax.random.PRNGKey(1234), (args.input_size, args.input_size, 1))
+    rng = jax.random.PRNGKey(int.from_bytes(os.urandom(4), "little"))
+
+    model_out_dir = join(args.outdir, model.name_tag)
+    os.makedirs(model_out_dir, exist_ok=True)
+    plotter = TrainHistoryPlotter(
+        save_filename=args.plot_save_filename or join(model_out_dir, "train.pdf")
+    )
+    console = ConsoleTrainOutput()
+
+    # Validation: deterministic crop over the aflw2k test split.
+    from neuralnet_tracker_traincode_tpu.train.validation import FusedValidation
+
+    validation = FusedValidation(trainer, test_set, tag_order, batchsize=args.batchsize * 2)
+
+    steps_per_epoch = cfg.steps_per_epoch
+    best_val = float("inf")
+    data_iter = device_prefetch(iter(train_loader), trainer.mesh, size=2)
+    t_train_start = time.time()
+    samples_done = 0
+    for epoch in range(args.epochs):
+        W = trainer.weight_matrix(epoch)
+        t0 = time.time()
+        metrics = None
+        for _ in range(steps_per_epoch):
+            batch = next(data_iter)
+            state, metrics = trainer.train_step(state, batch, W, rng)
+            for k, v in metrics.items():
+                plotter.add_train_point(epoch, int(state.step), k, v)
+                console.add_train_point(epoch, int(state.step), k, v)
+        check_not_nan(metrics, state, batch)
+        samples_done += steps_per_epoch * args.batchsize
+        dt = time.time() - t0
+        ips = steps_per_epoch * args.batchsize / dt
+
+        val_loss = validation.run(state, epoch, plotter, console)
+        plotter.add_test_point(epoch, "lr", args.lr * trainer.epoch_schedule(epoch))
+        console.add_test_point(epoch, "lr", args.lr * trainer.epoch_schedule(epoch))
+        if cfg.swa_start_epoch is not None and epoch > cfg.swa_start_epoch:
+            state = trainer.update_swa(state)
+        trainer.save_checkpoint(state, join(model_out_dir, "last.ckpt"))
+        if val_loss < best_val:
+            best_val = val_loss
+            trainer.save_checkpoint(state, join(model_out_dir, "best.ckpt"))
+        plotter.summarize_train_values()
+        console.summarize_train_values()
+        plotter.update_graph()
+        console.update_graph()
+        print(
+            f"epoch {epoch + 1}/{args.epochs}: {ips:.0f} img/s, val_loss {val_loss:.4f}"
+            f" (best {best_val:.4f})"
+        )
+    if cfg.swa_start_epoch is not None:
+        trainer.save_checkpoint(state, join(model_out_dir, "swa.ckpt"), swa=True)
+    total = time.time() - t_train_start
+    print(
+        f"Done: {samples_done} samples in {total:.0f}s "
+        f"({samples_done / total:.0f} images/s/chip incl. validation)"
+    )
+    plotter.close()
+
+
+if __name__ == "__main__":
+    main()

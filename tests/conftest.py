@@ -1,15 +1,26 @@
 """Test configuration: force an 8-virtual-device CPU platform.
 
 Tests exercise the multi-chip sharding paths on a virtual CPU mesh, as the CI
-machine has at most one real TPU chip. Must run before jax is imported.
+machine has at most one real TPU chip. The ambient environment pins
+JAX_PLATFORMS to the TPU plugin, which overrides the env var — the
+jax.config update below is authoritative. Must run before any test imports jax
+code paths that create arrays.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # Single-threaded eigen avoids 8-way thread oversubscription on the 1-core
+    # CI host, which otherwise trips XLA's 40 s collective-rendezvous timeout.
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8 --xla_cpu_multi_thread_eigen=false"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,158 @@
+"""End-to-end training smoke test on a virtual 8-device CPU mesh.
+
+Analog of `test/test_train.py`: drive the REAL jitted DP train step (fused
+augmentation + forward + masked loss + Adam update + SWA + checkpoints) for a
+few steps and check that losses decrease-ish, state updates, and checkpoints
+round-trip.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralnet_tracker_traincode_tpu.augmentation.pipeline import TrainAugmentationConfig
+from neuralnet_tracker_traincode_tpu.data.fields import FieldCategory, Tag
+from neuralnet_tracker_traincode_tpu.data.loader import LABEL_CATEGORIES, pack_fused_batch
+from neuralnet_tracker_traincode_tpu.losses import losses as L
+from neuralnet_tracker_traincode_tpu.losses.criterion import (
+    Criterion,
+    CriterionGroup,
+    MaskedMultiTaskCriterion,
+)
+from neuralnet_tracker_traincode_tpu.models.posenet import NetworkWithPointHead
+from neuralnet_tracker_traincode_tpu.parallel.mesh import make_mesh, shard_batch
+from neuralnet_tracker_traincode_tpu.train.loop import PoseTrainer, TrainerConfig, label_parameters
+
+
+def make_synthetic_batch(rng, B=16, src=64):
+    images = (rng.rand(B, src, src, 1) * 255).astype(np.uint8)
+    batch = {
+        "image": images,
+        "pose": np.tile(np.asarray([0.0, 0, 0, 1], np.float32), (B, 1)),
+        "coord": (rng.rand(B, 3) * 20 + 20).astype(np.float32),
+        "roi": np.tile(np.asarray([10.0, 10, 50, 50], np.float32), (B, 1)),
+        "pt3d_68": (rng.rand(B, 68, 3) * 30 + 15).astype(np.float32),
+        "shapeparam": rng.randn(B, 50).astype(np.float32),
+        "hasface": np.full((B,), 0.9, np.float32),
+        "coord_convention_id": np.zeros((B,), np.int32),
+        "tag_id": np.zeros((B,), np.int32),
+        "dataset_weight": np.ones((B,), np.float32),
+        "param_index": np.arange(B, dtype=np.int32),
+    }
+    return batch
+
+
+@pytest.fixture(scope="module")
+def trainer_and_state():
+    assert len(jax.devices()) == 8, "expected the virtual 8-device CPU mesh"
+    model = NetworkWithPointHead(enable_point_head=True, config="mobilenetv1")
+    crit = MaskedMultiTaskCriterion(
+        {
+            Tag.POSE_WITH_LANDMARKS: CriterionGroup(
+                [
+                    Criterion("rot", L.QuatPoseLoss("approx_distance"), 1.0),
+                    Criterion("xy", L.PoseXYLoss("l2"), 0.25),
+                    Criterion("sz", L.PoseSizeLoss("l2"), 0.25),
+                    Criterion("points3d", L.Points3dLoss("l2", chin_weight=0.8), 0.5),
+                    Criterion(
+                        "quatregularization1", L.QuaternionNormalizationSoftConstraint(), 1e-6
+                    ),
+                ]
+            )
+        },
+        [Tag.POSE_WITH_LANDMARKS],
+    )
+    cfg = TrainerConfig(
+        batchsize=16,
+        lr=1e-3,
+        epochs=4,
+        samples_per_epoch=32,
+        aug=TrainAugmentationConfig(inputsize=129, enable_image_aug=False),
+    )
+    mesh = make_mesh()
+    trainer = PoseTrainer(model, crit, cfg, LABEL_CATEGORIES, mesh=mesh)
+
+    def make_state():
+        # fresh state per test: the train step donates its input state
+        return trainer.init_state(jax.random.PRNGKey(0), (129, 129, 1))
+
+    return trainer, make_state
+
+
+def test_train_steps_run_and_update(trainer_and_state, rng, tmp_path):
+    trainer, make_state = trainer_and_state
+    state = make_state()
+    batch = shard_batch(make_synthetic_batch(rng), trainer.mesh)
+    W = trainer.weight_matrix(0)
+    key = jax.random.PRNGKey(42)
+
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    losses = []
+    for i in range(4):
+        state, metrics = trainer.train_step(state, batch, W, key)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 4
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert not np.allclose(p0, p1)
+    assert all(np.isfinite(l) for l in losses)
+    assert "rot" in metrics and "points3d" in metrics
+
+    # SWA update
+    state = trainer.update_swa(state)
+    assert int(state.swa_count) == 1
+    swa0 = np.asarray(jax.tree_util.tree_leaves(state.swa_params)[0])
+    np.testing.assert_allclose(swa0, p1, atol=1e-6)  # first update copies params
+
+    # checkpoint roundtrip
+    path = str(tmp_path / "best.nnckpt")
+    trainer.save_checkpoint(state, path)
+    from neuralnet_tracker_traincode_tpu.models import io as model_io
+
+    model2, variables2 = model_io.load_posenet(path)
+    assert model2.get_config() == trainer.model.get_config()
+
+
+def test_training_reduces_loss(trainer_and_state, rng):
+    # Same batch repeatedly: loss must drop substantially (overfit check).
+    trainer, make_state = trainer_and_state
+    state = make_state()
+    batch = shard_batch(make_synthetic_batch(rng, B=16), trainer.mesh)
+    W = trainer.weight_matrix(3)  # post-rampup weights
+    key = jax.random.PRNGKey(7)
+    first = None
+    # Disable augmentation randomness effect by fixing the rng fold-in via step.
+    for i in range(30):
+        state, metrics = trainer.train_step(state, batch, W, key)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def test_param_group_labels():
+    model = NetworkWithPointHead(enable_point_head=True, enable_uncertainty=True)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 129, 129, 1)),
+    )
+    labels = label_parameters(variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    values = [v for _, v in flat]
+    assert "variance" in values  # uncertainty modules found
+    # quatnet's uncertainty net must be variance; backbone conv must be main
+    as_str = {jax.tree_util.keystr(p): v for p, v in flat}
+    assert any("uncertainty" in k and v == "variance" for k, v in as_str.items())
+    assert any("convnet" in k or "conv" in k for k in as_str)
+
+
+def test_schedule_values():
+    from neuralnet_tracker_traincode_tpu.train.schedules import exponential_up_then_steps
+
+    sched = exponential_up_then_steps(10, 0.1, [50])
+    assert abs(sched(0) - 0.01 * np.exp(np.log(100) * 0.1)) < 1e-6
+    assert abs(sched(9) - 1.0) < 1e-9
+    assert sched(20) == 1.0
+    assert abs(sched(60) - 0.1) < 1e-9
