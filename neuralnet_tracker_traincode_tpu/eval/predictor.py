@@ -96,16 +96,27 @@ class OnnxPoseNetwork(InferenceNetwork):
     }
 
     def __init__(self, modelfile: str):
-        import onnxruntime  # noqa: F401 - optional
+        try:
+            import onnxruntime
 
-        self.session = onnxruntime.InferenceSession(
-            modelfile, providers=["CPUExecutionProvider"]
-        )
-        self.output_names = [
-            self.NAMEMAP.get(o.name, o.name) for o in self.session.get_outputs()
-        ]
-        self._single_frame = isinstance(self.session.get_inputs()[0].shape[0], int)
-        self._legacy_coords = self.session.get_modelmeta().version not in (2, 3, 4)
+            self.session = onnxruntime.InferenceSession(
+                modelfile, providers=["CPUExecutionProvider"]
+            )
+            self.output_names = [
+                self.NAMEMAP.get(o.name, o.name) for o in self.session.get_outputs()
+            ]
+            self._single_frame = isinstance(self.session.get_inputs()[0].shape[0], int)
+            self._legacy_coords = self.session.get_modelmeta().version not in (2, 3, 4)
+        except ImportError:
+            # Fall back to the bundled numpy executor (slow but dependency-free).
+            from neuralnet_tracker_traincode_tpu.export.onnx_run import NumpyOnnxSession
+
+            self.session = NumpyOnnxSession(modelfile)
+            self.output_names = [
+                self.NAMEMAP.get(n, n) for n in self.session.output_names
+            ]
+            self._single_frame = False
+            self._legacy_coords = self.session.model_version not in (2, 3, 4)
 
     @property
     def input_resolution(self) -> int:

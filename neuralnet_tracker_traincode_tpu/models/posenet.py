@@ -169,21 +169,23 @@ class LocalToGlobalCoordinateOffset(nn.Module):
         return pred_quat, pred_pos
 
 
-def create_pose_estimator_backbone(num_heads: int, config: str, args: Dict[str, Any], dtype):
+def create_pose_estimator_backbone(num_heads: int, config: str, args: Dict[str, Any], dtype, name="convnet"):
     args = dict(args or {})
     if config == "mobilenetv1":
-        return MobileNet(dtype=dtype, **args)
+        return MobileNet(dtype=dtype, name=name, **args)
     if config == "resnet18":
-        return resnet18(dtype=dtype, **args)
+        return resnet18(dtype=dtype, name=name, **args)
     if config == "hybrid_vit":
         if args:
             print(f"WARNING: backbone arguments to {config} ignored: {args}")
-        return HybridVitBackbone(num_heads_out=num_heads, dtype=dtype)
+        return HybridVitBackbone(num_heads_out=num_heads, dtype=dtype, name=name)
     if config.startswith("efficientnet_"):
         kind = config[len("efficientnet_") :]
         assert kind in ("b0", "b1", "b2", "b3", "b4")
         args.pop("use_blurpool", None)
-        return EfficientNetBackbone(kind=kind, stochastic_depth_prob=0.1, dtype=dtype, **args)
+        return EfficientNetBackbone(
+            kind=kind, stochastic_depth_prob=0.1, dtype=dtype, name=name, **args
+        )
     raise ValueError(f"Unsupported backbone {config}")
 
 

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Export a trained checkpoint to ONNX for the opentrack plugin.
+
+Contract: `scripts/export_model.py` of the reference: denormal scrub,
+conv+BN fusion, opentrack output names (pos_size/quat/box + *_scales),
+opset 13, model_version 4, and an output-parity check of the emitted graph
+against the source model (atol 1e-4). The graph is emitted by the
+self-contained writer (no onnx/onnxruntime dependency); the parity check runs
+on the bundled numpy ONNX executor, or onnxruntime when available.
+"""
+
+import argparse
+import sys
+from os.path import dirname, join, realpath, splitext
+
+import numpy as np
+
+sys.path.insert(0, join(dirname(realpath(__file__)), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("checkpoint", help="model checkpoint (.ckpt/.nnckpt)")
+    parser.add_argument("--output", default=None, help="output .onnx path")
+    parser.add_argument(
+        "--localizer", action="store_true", help="export a LocalizerNet checkpoint"
+    )
+    parser.add_argument("--no-parity-check", dest="parity", action="store_false", default=True)
+    parser.add_argument("--atol", type=float, default=1e-4)
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from neuralnet_tracker_traincode_tpu.export import onnx_export, onnx_run
+    from neuralnet_tracker_traincode_tpu.models import io as model_io
+
+    model, variables = model_io.load_posenet(args.checkpoint)
+    variables = onnx_export.clear_denormals(variables)
+    out_path = args.output or splitext(args.checkpoint)[0] + ".onnx"
+
+    from neuralnet_tracker_traincode_tpu.models.localizer import LocalizerNet
+
+    if args.localizer or isinstance(model, LocalizerNet):
+        blob = onnx_export.build_localizer_onnx(model, variables)
+        in_shape = (1,) + tuple(model.input_resolution) + (1,)
+    else:
+        blob = onnx_export.build_posenet_onnx(model, variables)
+        in_shape = (1, model.input_resolution, model.input_resolution, 1)
+
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    print(f"Wrote {out_path} ({len(blob)} bytes)")
+
+    if args.parity:
+        rng = np.random.RandomState(0)
+        x_nhwc = (rng.rand(*in_shape).astype(np.float32) - 0.5)
+        sess = onnx_run.NumpyOnnxSession(blob)
+        outs = dict(zip(sess.output_names, sess.run(None, {"x": np.moveaxis(x_nhwc, -1, 1)})))
+        if args.localizer or isinstance(model, LocalizerNet):
+            ref = {"logit_box": np.asarray(model.apply(variables, jnp.asarray(x_nhwc)))}
+        else:
+            r = model.apply(variables, jnp.asarray(x_nhwc), train=False)
+            ref = {"pos_size": r["coord"], "quat": r["pose"], "box": r["roi"]}
+            if model.enable_uncertainty:
+                ref.update(
+                    pos_size_scales=r["coord_scales"],
+                    rotaxis_scales_tril=r["pose_scales_tril"],
+                    box_scales=r["roi_scales"],
+                )
+        worst = 0.0
+        for k, v in ref.items():
+            err = float(np.abs(outs[k] - np.asarray(v)).max())
+            worst = max(worst, err)
+            status = "OK" if err <= args.atol else "FAIL"
+            print(f"  parity {k}: max err {err:.2e} [{status}]")
+        if worst > args.atol:
+            raise SystemExit(f"Parity check failed: {worst} > {args.atol}")
+        print("Parity check passed.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Pipeline integration: dataset registry + fused loader over synthetic HDF5.
+
+Mirrors `test/test_pipelines.py` but with self-contained synthetic files
+(the reference's version needs $DATADIR with real datasets).
+"""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from neuralnet_tracker_traincode_tpu.data.fields import DatasetId as Id, FieldCategory, Tag
+from neuralnet_tracker_traincode_tpu.data.loader import FusedBatchLoader, pack_fused_batch
+from neuralnet_tracker_traincode_tpu.data.pose_dataset import Hdf5PoseDataset, create_pose_dataset
+from neuralnet_tracker_traincode_tpu.data.sampling import (
+    ConcatDataset,
+    make_concat_dataset_item_sampler,
+)
+
+
+def write_pose_h5(path, n, img_size=48, with_landmarks=True, seed=0):
+    rng = np.random.RandomState(seed)
+    with h5py.File(path, "w") as f:
+        ds = create_pose_dataset(f, FieldCategory.image, count=n)
+        for i in range(n):
+            ds[i] = (rng.rand(img_size, img_size) * 255).astype(np.uint8)
+        quats = rng.randn(n, 4).astype(np.float32)
+        quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+        create_pose_dataset(f, FieldCategory.quat, count=n, dtype=np.float32, data=quats)
+        coords = np.stack(
+            [rng.rand(n) * img_size, rng.rand(n) * img_size, rng.rand(n) * 10 + 5], axis=-1
+        ).astype(np.float32)
+        create_pose_dataset(f, FieldCategory.xys, count=n, dtype=np.float32, data=coords)
+        rois = np.stack(
+            [np.full(n, 8.0), np.full(n, 8.0), np.full(n, 40.0), np.full(n, 40.0)], axis=-1
+        ).astype(np.float32)
+        create_pose_dataset(f, FieldCategory.roi, count=n, dtype=np.float32, data=rois)
+        if with_landmarks:
+            create_pose_dataset(
+                f, FieldCategory.points, name="pt3d_68", count=n, shape_wo_batch_dim=(68, 3),
+                dtype=np.float32, data=(rng.rand(n, 68, 3) * 30 + 8).astype(np.float32),
+            )
+            create_pose_dataset(
+                f, FieldCategory.general, name="shapeparams", count=n,
+                shape_wo_batch_dim=(50,), dtype=np.float16,
+                data=rng.randn(n, 50).astype(np.float16),
+            )
+
+
+def test_fused_batch_loader(tmp_path):
+    p1 = str(tmp_path / "a.h5")
+    p2 = str(tmp_path / "b.h5")
+    write_pose_h5(p1, 10, seed=1)
+    write_pose_h5(p2, 6, with_landmarks=False, seed=2)
+    ds1 = Hdf5PoseDataset(p1, dataclass=Tag.POSE_WITH_LANDMARKS)
+    ds2 = Hdf5PoseDataset(p2, dataclass=Tag.ONLY_POSE, coord_convention_id=1)
+    concat = ConcatDataset([ds1, ds2])
+    sampler = make_concat_dataset_item_sampler(concat, [0.5, 0.5], stop_after=200, seed=3)
+    tags = [Tag.POSE_WITH_LANDMARKS, Tag.ONLY_POSE]
+    loader = FusedBatchLoader(
+        concat,
+        tags_by_dataset_index=lambda i: tags[i],
+        tag_to_id={t: i for i, t in enumerate(tags)},
+        sampler=sampler,
+        batchsize=8,
+        pad_size=64,
+    )
+    it = iter(loader)
+    seen_tags = set()
+    for _ in range(5):
+        batch = next(it)
+        assert batch["image"].shape == (8, 64, 64, 1)
+        assert batch["image"].dtype == np.uint8
+        assert batch["pose"].shape == (8, 4)
+        assert batch["pt3d_68"].shape == (8, 68, 3)
+        assert batch["tag_id"].shape == (8,)
+        seen_tags.update(batch["tag_id"].tolist())
+        # coord_convention_id follows the dataset
+        ccids = batch["coord_convention_id"]
+        np.testing.assert_array_equal(ccids, np.where(batch["tag_id"] == 1, 1, 0))
+    assert seen_tags == {0, 1}
+
+
+def test_pack_fused_batch_oversized_image_asserts(tmp_path):
+    p = str(tmp_path / "c.h5")
+    write_pose_h5(p, 2, img_size=100)
+    ds = Hdf5PoseDataset(p, dataclass=Tag.ONLY_POSE)
+    with pytest.raises(AssertionError):
+        pack_fused_batch([ds[0]], [0], pad_size=64)
+
+
+def test_make_pose_estimation_loaders_registry(tmp_path, monkeypatch):
+    # Wire a synthetic aflw2k.h5 through the real registry entry point.
+    datadir = tmp_path / "data"
+    datadir.mkdir()
+    write_pose_h5(str(datadir / "aflw2k.h5"), 420)
+    monkeypatch.setenv("DATADIR", str(datadir))
+
+    from neuralnet_tracker_traincode_tpu import pipelines
+
+    train_loader, test_set, size, tag_order, aug_cfg = pipelines.make_pose_estimation_loaders(
+        inputsize=65,
+        batchsize=4,
+        datasets=[Id.AFLW2k3d],
+        pad_size=64,
+        seed=5,
+    )
+    assert size == 20  # aflw2k train split = samples beyond the first 400
+    batch = next(iter(train_loader))
+    assert batch["image"].shape == (4, 64, 64, 1)
+    assert aug_cfg.inputsize == 65
+    assert Tag.POSE_WITH_LANDMARKS in tag_order
+    # validation set yields Batch samples with landmark-derived rois
+    sample = test_set[0]
+    assert "roi" in sample
+
+
+def test_validation_loader(tmp_path, monkeypatch):
+    datadir = tmp_path / "data"
+    datadir.mkdir()
+    write_pose_h5(str(datadir / "aflw2k.h5"), 8)
+    monkeypatch.setenv("DATADIR", str(datadir))
+    from neuralnet_tracker_traincode_tpu import pipelines
+
+    loader = pipelines.make_validation_loader("aflw2k3d", use_head_roi=False)
+    samples = list(loader)
+    assert len(samples) > 0
+    s = samples[0]
+    # roi rebuilt from landmarks
+    lm = np.asarray(s["pt3d_68"])
+    np.testing.assert_allclose(np.asarray(s["roi"])[:2], lm[:, :2].min(axis=0), atol=1e-4)
