@@ -67,7 +67,8 @@ def warp_affine(
     assert tr.shape == (B,), f"Need one transform per image, got {tr.shape}"
     inv = tr.inv()
     s = oversample
-    n = out_size * s
+    out_h, out_w = (out_size, out_size) if isinstance(out_size, int) else out_size
+    nh, nw = out_h * s, out_w * s
     # Continuous coordinates with pixel centers at i + 0.5, the SAME convention
     # the label transforms use (after offset_points_by_half_pixel). Output
     # pixel j is sampled at continuous coord j + 0.5 (subpixel-jittered when
@@ -81,9 +82,10 @@ def warp_affine(
     # runtime dependence on the transform plus the optimization barriers below
     # force the fast vectorized gather. Do not "simplify" these away.
     fake_dep = 0.0 * jax.lax.stop_gradient(inv.m.reshape(-1)[0])
-    coords_1d = (jnp.arange(n, dtype=jnp.float32) + 0.5) / s + fake_dep
-    gx = jnp.broadcast_to(coords_1d[None, :], (n, n))
-    gy = jnp.broadcast_to(coords_1d[:, None], (n, n))
+    coords_x = (jnp.arange(nw, dtype=jnp.float32) + 0.5) / s + fake_dep
+    coords_y = (jnp.arange(nh, dtype=jnp.float32) + 0.5) / s + fake_dep
+    gx = jnp.broadcast_to(coords_x[None, :], (nh, nw))
+    gy = jnp.broadcast_to(coords_y[:, None], (nh, nw))
 
     def warp_one(img, m):
         # Elementwise affine (a batched 2x2 matmul over the grid compiles to a
@@ -96,7 +98,7 @@ def warp_affine(
         out = _bilinear_gather(img.astype(jnp.float32), sx, sy)
         if s > 1:
             C = out.shape[-1]
-            out = out.reshape(out_size, s, out_size, s, C).mean(axis=(1, 3))
+            out = out.reshape(out_h, s, out_w, s, C).mean(axis=(1, 3))
         return out
 
     return jax.vmap(warp_one)(images, inv.tensor())

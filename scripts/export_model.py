@@ -52,21 +52,26 @@ def main():
     print(f"Wrote {out_path} ({len(blob)} bytes)")
 
     if args.parity:
+        import jax
+
         rng = np.random.RandomState(0)
         x_nhwc = (rng.rand(*in_shape).astype(np.float32) - 0.5)
         sess = onnx_run.NumpyOnnxSession(blob)
         outs = dict(zip(sess.output_names, sess.run(None, {"x": np.moveaxis(x_nhwc, -1, 1)})))
-        if args.localizer or isinstance(model, LocalizerNet):
-            ref = {"logit_box": np.asarray(model.apply(variables, jnp.asarray(x_nhwc)))}
-        else:
-            r = model.apply(variables, jnp.asarray(x_nhwc), train=False)
-            ref = {"pos_size": r["coord"], "quat": r["pose"], "box": r["roi"]}
-            if model.enable_uncertainty:
-                ref.update(
-                    pos_size_scales=r["coord_scales"],
-                    rotaxis_scales_tril=r["pose_scales_tril"],
-                    box_scales=r["roi_scales"],
-                )
+        # Pin f32 math: TPU convs default to bf16, which is NOT the reference
+        # for the exported (exact f32) graph.
+        with jax.default_matmul_precision("float32"):
+            if args.localizer or isinstance(model, LocalizerNet):
+                ref = {"logit_box": np.asarray(model.apply(variables, jnp.asarray(x_nhwc)))}
+            else:
+                r = model.apply(variables, jnp.asarray(x_nhwc), train=False)
+                ref = {"pos_size": r["coord"], "quat": r["pose"], "box": r["roi"]}
+                if model.enable_uncertainty:
+                    ref.update(
+                        pos_size_scales=r["coord_scales"],
+                        rotaxis_scales_tril=r["pose_scales_tril"],
+                        box_scales=r["roi_scales"],
+                    )
         worst = 0.0
         for k, v in ref.items():
             err = float(np.abs(outs[k] - np.asarray(v)).max())
