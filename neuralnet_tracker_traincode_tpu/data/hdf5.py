@@ -50,6 +50,16 @@ class ImageDs:
         self.monochrome = True
 
     def _decode(self, buffer):
+        if self.monochrome:
+            # Native libjpeg path (grayscale decode skips chroma entirely);
+            # bit-exact with cv2, falls back transparently.
+            from neuralnet_tracker_traincode_tpu.data.native_loader import decode_jpeg_gray
+
+            buf = np.asarray(buffer)
+            if buf.size >= 3 and bytes(buf[:3].tobytes()) == b"\xff\xd8\xff":
+                decoded = decode_jpeg_gray(buf)
+                if decoded is not None:
+                    return _ensure_image_color_mode(decoded, True)
         decoded = imdecode(buffer, color=False if self.monochrome else "rgb")
         return _ensure_image_color_mode(decoded, self.monochrome)
 
