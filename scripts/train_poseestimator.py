@@ -170,6 +170,14 @@ def main():
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--pad-size", type=int, default=None)
     parser.add_argument("--plot-save-filename", default=None)
+    parser.add_argument(
+        "--resume", default=None, type=str,
+        help="Resume from a training-state file ('auto' = <outdir>/resume.msgpack)",
+    )
+    parser.add_argument(
+        "--profile-dir", default=None, type=str,
+        help="Capture a jax.profiler device trace of early steps into this directory",
+    )
     args = parser.parse_args()
     args.input_size = 129
 
@@ -184,7 +192,12 @@ def main():
         TrainerConfig,
         check_not_nan,
     )
+    from neuralnet_tracker_traincode_tpu.train.checkpointing import (
+        load_train_state,
+        save_train_state,
+    )
     from neuralnet_tracker_traincode_tpu.train.plotting import ConsoleTrainOutput, TrainHistoryPlotter
+    from neuralnet_tracker_traincode_tpu.train.profiling import ThroughputMeter, trace
 
     dsids, dataset_weights = parse_dataset_definition(args.ds)
     train_loader, test_set, ds_size, tag_order, aug_cfg = pipelines.make_pose_estimation_loaders(
@@ -223,6 +236,16 @@ def main():
 
     model_out_dir = join(args.outdir, model.name_tag)
     os.makedirs(model_out_dir, exist_ok=True)
+    resume_path = join(model_out_dir, "resume.msgpack")
+    start_epoch = 0
+    if args.resume:
+        path = resume_path if args.resume == "auto" else args.resume
+        if os.path.exists(path):
+            state, extra = load_train_state(state, path)
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            print(f"Resumed from {path} at epoch {start_epoch}")
+        else:
+            print(f"No resume state at {path}; starting fresh")
     plotter = TrainHistoryPlotter(
         save_filename=args.plot_save_filename or join(model_out_dir, "train.pdf")
     )
@@ -238,13 +261,25 @@ def main():
     data_iter = device_prefetch(iter(train_loader), trainer.mesh, size=2)
     t_train_start = time.time()
     samples_done = 0
-    for epoch in range(args.epochs):
+    meter = ThroughputMeter(warmup_steps=2)
+    for epoch in range(start_epoch, args.epochs):
         W = trainer.weight_matrix(epoch)
         t0 = time.time()
         metrics = None
-        for _ in range(steps_per_epoch):
+        profile_ctx = trace(args.profile_dir if epoch == start_epoch else None)
+        with profile_ctx:
+            profile_steps = 8 if args.profile_dir and epoch == start_epoch else steps_per_epoch
+            for _ in range(min(profile_steps, steps_per_epoch)):
+                batch = next(data_iter)
+                state, metrics = trainer.train_step(state, batch, W, rng)
+                meter.step(args.batchsize)
+                for k, v in metrics.items():
+                    plotter.add_train_point(epoch, int(state.step), k, v)
+                    console.add_train_point(epoch, int(state.step), k, v)
+        for _ in range(max(0, steps_per_epoch - profile_steps)):
             batch = next(data_iter)
             state, metrics = trainer.train_step(state, batch, W, rng)
+            meter.step(args.batchsize)
             for k, v in metrics.items():
                 plotter.add_train_point(epoch, int(state.step), k, v)
                 console.add_train_point(epoch, int(state.step), k, v)
@@ -259,6 +294,7 @@ def main():
         if cfg.swa_start_epoch is not None and epoch > cfg.swa_start_epoch:
             state = trainer.update_swa(state)
         trainer.save_checkpoint(state, join(model_out_dir, "last.ckpt"))
+        save_train_state(state, resume_path, extra={"epoch": epoch})
         if val_loss < best_val:
             best_val = val_loss
             trainer.save_checkpoint(state, join(model_out_dir, "best.ckpt"))
@@ -267,7 +303,8 @@ def main():
         plotter.update_graph()
         console.update_graph()
         print(
-            f"epoch {epoch + 1}/{args.epochs}: {ips:.0f} img/s, val_loss {val_loss:.4f}"
+            f"epoch {epoch + 1}/{args.epochs}: {ips:.0f} img/s (device-path "
+            f"{meter.per_chip():.0f} img/s/chip), val_loss {val_loss:.4f}"
             f" (best {best_val:.4f})"
         )
     if cfg.swa_start_epoch is not None:
