@@ -41,18 +41,33 @@ def _np_smoothclip0(x):
 
 
 class GraphBuilder:
-    def __init__(self):
+    def __init__(self, fp16: bool = False):
         self.nodes: List[bytes] = []
         self.initializers: List[bytes] = []
         self._counter = 0
+        # fp16 graphs store every float initializer as FLOAT16; callers cast
+        # the graph input to fp16 and the outputs back to fp32 (same boundary
+        # contract as the reference's onnxconverter fp16 pass,
+        # reference export_model.py's --posehalf path).
+        self.fp16 = fp16
+        # Static PTQ (QDQ form): per-conv-index activation (min, max) ranges.
+        # Mirrors the reference's backbone-only FX PTQ (quint8 per-tensor
+        # activations, qint8 per-channel-symmetric weights, avgpool/heads
+        # fp32; reference export_model.py:53-113) — the convs are exactly
+        # the backbone here (heads are Gemm).
+        self.quant_ranges: Optional[Sequence] = None
+        self._conv_quant_idx = 0
 
     def fresh(self, hint="t"):
         self._counter += 1
         return f"{hint}_{self._counter}"
 
     def init_tensor(self, array, hint="const"):
+        array = np.ascontiguousarray(array)
+        if self.fp16 and array.dtype == np.float32:
+            array = array.astype(np.float16)
         name = self.fresh(hint)
-        self.initializers.append(P.tensor_proto(name, np.ascontiguousarray(array)))
+        self.initializers.append(P.tensor_proto(name, array))
         return name
 
     def node(self, op, inputs, n_out=1, hint=None, **attrs):
@@ -64,9 +79,36 @@ class GraphBuilder:
         self.nodes.append(P.node_proto("Identity", [src], [dst], name=self.fresh("Identity")))
         return dst
 
+    # --- quantization helpers ------------------------------------------------
+    def _qdq_activation(self, x, lo, hi):
+        scale = max((float(hi) - float(lo)) / 255.0, 1e-8)
+        zp = int(np.clip(round(-float(lo) / scale), 0, 255))
+        s = self.init_tensor(np.asarray(scale, np.float32), "qs")
+        z = self.init_tensor(np.asarray(zp, np.uint8), "qz")
+        q = self.node("QuantizeLinear", [x, s, z])
+        return self.node("DequantizeLinear", [q, s, z])
+
+    def _qdq_weight(self, w_oihw):
+        absmax = np.abs(w_oihw).reshape(w_oihw.shape[0], -1).max(axis=1)
+        scale = np.maximum(absmax / 127.0, 1e-12).astype(np.float32)
+        wq = np.clip(
+            np.rint(w_oihw / scale[:, None, None, None]), -127, 127
+        ).astype(np.int8)
+        s = self.init_tensor(scale, "wqs")
+        z = self.init_tensor(np.zeros(w_oihw.shape[0], np.int8), "wqz")
+        q = self.init_tensor(wq, "Wq")
+        return self.node("DequantizeLinear", [q, s, z], axis=0)
+
     # --- common op helpers ---------------------------------------------------
     def conv(self, x, weight_oihw, bias, stride=1, group=1, pads=None):
-        w = self.init_tensor(weight_oihw.astype(np.float32), "W")
+        w_arr = weight_oihw.astype(np.float32)
+        if self.quant_ranges is not None:
+            lo, hi = self.quant_ranges[self._conv_quant_idx]
+            self._conv_quant_idx += 1
+            x = self._qdq_activation(x, lo, hi)
+            w = self._qdq_weight(w_arr)
+        else:
+            w = self.init_tensor(w_arr, "W")
         inputs = [x, w]
         if bias is not None:
             inputs.append(self.init_tensor(bias.astype(np.float32), "B"))
@@ -181,6 +223,44 @@ def _emit_mobilenet(g: GraphBuilder, x, params, stats, widen=1.0):
     return g.node("Flatten", [pooled], axis=1)
 
 
+def _emit_resnet18(g: GraphBuilder, x, params, stats):
+    """ResNet-18 backbone (no blurpool) -> pooled 512-d feature node name.
+
+    Mirrors `models/backbones/resnet.py` (torchvision resnet18 topology,
+    1-channel 7x7 stem); BN folded into the convs.
+    """
+
+    def fold(scope_p, scope_s, conv_name, bn_name):
+        return _fold_bn(
+            np.asarray(scope_p[conv_name]["kernel"]),
+            np.asarray(scope_p[bn_name]["scale"]), np.asarray(scope_p[bn_name]["bias"]),
+            np.asarray(scope_s[bn_name]["mean"]), np.asarray(scope_s[bn_name]["var"]),
+        )
+
+    w, b = fold(params, stats, "conv1", "bn1")
+    x = g.conv(x, w, b, stride=2, pads=[3, 3, 3, 3])
+    x = g.relu(x)
+    x = g.node("MaxPool", [x], kernel_shape=[3, 3], strides=[2, 2], pads=[1, 1, 1, 1])
+
+    for stage, num_blocks in enumerate([2, 2, 2, 2]):
+        for blk in range(num_blocks):
+            stride = 2 if (stage > 0 and blk == 0) else 1
+            bp = params[f"layer{stage + 1}_{blk}"]
+            bs = stats[f"layer{stage + 1}_{blk}"]
+            identity = x
+            w1, b1 = fold(bp, bs, "conv1", "bn1")
+            h = g.relu(g.conv(x, w1, b1, stride=stride))
+            w2, b2 = fold(bp, bs, "conv2", "bn2")
+            h = g.conv(h, w2, b2, stride=1)
+            if "downsample_conv" in bp:
+                wd, bd = fold(bp, bs, "downsample_conv", "downsample_bn")
+                identity = g.conv(x, wd, bd, stride=stride, pads=[0, 0, 0, 0])
+            x = g.relu(g.add(h, identity))
+
+    pooled = g.node("GlobalAveragePool", [x])
+    return g.node("Flatten", [pooled], axis=1)
+
+
 def _quat_mult_const_right(g: GraphBuilder, q, v_const):
     """Emit q' = mult(q, v_const): linear in q => single MatMul."""
     from neuralnet_tracker_traincode_tpu.ops import quaternion as Q
@@ -247,22 +327,38 @@ def _emit_triangular_scale(g: GraphBuilder, features, neck_params):
     )
 
 
-def build_posenet_onnx(model, variables, outputs: str = "opentrack") -> bytes:
+def build_posenet_onnx(
+    model, variables, outputs: str = "opentrack", fp16: bool = False,
+    quant_ranges: Optional[Sequence] = None,
+) -> bytes:
     """Build the ONNX ModelProto bytes for a NetworkWithPointHead checkpoint.
 
     outputs='opentrack': pos_size, quat, box (+ *_scales with uncertainty).
+    fp16=True stores all weights as FLOAT16 and runs the graph in half
+    precision between boundary casts (fp32 input/outputs).
+    quant_ranges: per-conv-index activation (min, max) from
+    `calibrate_conv_ranges` -> QDQ int8 backbone (heads stay fp32).
     """
-    assert model.config == "mobilenetv1", f"ONNX export supports mobilenetv1, got {model.config}"
+    assert not (fp16 and quant_ranges is not None), "pick one of fp16/quantize"
+    assert model.config in ("mobilenetv1", "resnet18"), (
+        f"ONNX export supports mobilenetv1/resnet18, got {model.config}"
+    )
     assert not (model.backbone_args or {}).get("use_blurpool"), "blurpool export TODO"
     params = variables["params"]
     stats = variables["batch_stats"]
     res = model.input_resolution
 
-    g = GraphBuilder()
+    g = GraphBuilder(fp16=fp16)
+    g.quant_ranges = quant_ranges
     # The graph is NCHW like the reference's exports; our NHWC flax weights
     # are transposed to OIHW at export time, so no runtime transposes appear.
     x = "x"
-    features = _emit_mobilenet(g, x, params["convnet"], stats["convnet"])
+    if fp16:
+        x = g.node("Cast", [x], to=P.FLOAT16)
+    if model.config == "mobilenetv1":
+        features = _emit_mobilenet(g, x, params["convnet"], stats["convnet"])
+    else:
+        features = _emit_resnet18(g, x, params["convnet"], stats["convnet"])
 
     # Heads.
     box_z = g.gemm(
@@ -340,6 +436,8 @@ def build_posenet_onnx(model, variables, outputs: str = "opentrack") -> bytes:
 
     out_protos = []
     for name, src, dims in output_infos:
+        if fp16:
+            src = g.node("Cast", [src], to=P.FLOAT)
         g.rename_output(src, name)
         shape = ["batch"] + (list(dims) if isinstance(dims, tuple) else [dims])
         out_protos.append(P.value_info_proto(name, P.FLOAT, shape))
@@ -442,3 +540,25 @@ def build_localizer_onnx(model, variables) -> bytes:
     out_proto = P.value_info_proto("logit_box", P.FLOAT, ["batch", 5])
     graph = P.graph_proto("localizer", g.nodes, [input_proto], [out_proto], g.initializers)
     return P.model_proto(graph, opset_version=13, model_version=4)
+
+
+def calibrate_conv_ranges(model_bytes: bytes, batches_nchw) -> List:
+    """Collect (min, max) of every Conv input over calibration batches.
+
+    Runs the fp32 graph with the bundled numpy executor; conv order matches
+    a subsequent `build_posenet_onnx(..., quant_ranges=...)` build by
+    construction (the reference instead attaches torch observers and runs 20
+    train batches, export_model.py:108-110).
+    """
+    from neuralnet_tracker_traincode_tpu.export import onnx_run
+
+    model = onnx_run.load_model(model_bytes)
+    names = [n.inputs[0] for n in model.nodes if n.op_type == "Conv"]
+    lo = {n: np.inf for n in names}
+    hi = {n: -np.inf for n in names}
+    for x in batches_nchw:
+        out = onnx_run.run(model, {"x": np.asarray(x, np.float32)}, collect=names)
+        for n in names:
+            lo[n] = min(lo[n], float(out[n].min()))
+            hi[n] = max(hi[n], float(out[n].max()))
+    return [(lo[n], hi[n]) for n in names]

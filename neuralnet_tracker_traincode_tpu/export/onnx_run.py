@@ -169,7 +169,13 @@ def _conv(x, w, b, strides, pads, group):
     return out
 
 
-def run(model: OnnxModel, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+def run(
+    model: OnnxModel,
+    feeds: Dict[str, np.ndarray],
+    collect: Optional[List[str]] = None,
+) -> Dict[str, np.ndarray]:
+    """Execute the graph. With `collect`, also return those intermediate
+    tensors (used for PTQ calibration range collection)."""
     env: Dict[str, np.ndarray] = dict(model.initializers)
     env.update({k: np.asarray(v) for k, v in feeds.items()})
     for node in model.nodes:
@@ -235,10 +241,43 @@ def run(model: OnnxModel, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
             y = i[0]
         elif op == "Transpose":
             y = np.transpose(i[0], a["perm"])
+        elif op == "Cast":
+            y = i[0].astype(_ONNX_TO_NP[a["to"]])
+        elif op == "QuantizeLinear":
+            scale, zp = i[1], i[2]
+            info = np.iinfo(zp.dtype)
+            y = np.clip(np.rint(i[0] / scale) + zp, info.min, info.max).astype(zp.dtype)
+        elif op == "DequantizeLinear":
+            scale, zp = i[1], i[2]
+            if scale.ndim == 1 and scale.size > 1:  # per-channel
+                ax = a.get("axis", 1)
+                shape = [1] * i[0].ndim
+                shape[ax] = scale.size
+                scale = scale.reshape(shape)
+                zp = zp.reshape(shape)
+            y = (i[0].astype(np.float32) - zp.astype(np.float32)) * scale
+        elif op == "MaxPool":
+            kh, kw = a["kernel_shape"]
+            sh, sw = a.get("strides", [1, 1])
+            pt, pl, pb, pr = a.get("pads", [0, 0, 0, 0])
+            xp = np.pad(
+                i[0], ((0, 0), (0, 0), (pt, pb), (pl, pr)),
+                constant_values=-np.inf,
+            )
+            N, C, H, W = xp.shape
+            oh = (H - kh) // sh + 1
+            ow = (W - kw) // sw + 1
+            y = np.full((N, C, oh, ow), -np.inf, xp.dtype)
+            for dy in range(kh):
+                for dx in range(kw):
+                    y = np.maximum(y, xp[:, :, dy:dy + oh * sh:sh, dx:dx + ow * sw:sw])
         else:
             raise NotImplementedError(f"op {op}")
         env[node.outputs[0]] = np.asarray(y, np.float32) if y.dtype == np.float64 else y
-    return {name: env[name] for name in model.output_names}
+    out = {name: env[name] for name in model.output_names}
+    if collect is not None:
+        out.update({name: env[name] for name in collect})
+    return out
 
 
 class NumpyOnnxSession:

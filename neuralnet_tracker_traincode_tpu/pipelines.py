@@ -387,7 +387,10 @@ def make_validation_dataset(
         "replicantface-stability": make_replicant_face_stability_test,
         "replicantface": lambda transform: make_replicant_face_datasets(transform)[1],
     }
-    if name == "replicantface-train":
+    if name.endswith((".h5", ".hdf5")):
+        # Direct file path (e.g. the bundled aflw2kmini.h5 fixture).
+        ds = Hdf5PoseDataset(name, transform=transform, dataclass=Tag.POSE_WITH_LANDMARKS)
+    elif name == "replicantface-train":
         ds, _ = make_replicant_face_datasets(transform=transform)
         rng = np.random.default_rng(seed=42)
         ds = Subset(ds, rng.integers(0, len(ds) - 1, size=1000))

@@ -153,6 +153,10 @@ def report(net_filename, data_name, roi_config: RoiConfig, args, builder: TableB
     rmse_pos = np.sqrt(np.average(np.sum(np.square(np.vstack([e_posx, e_posy]).T), axis=1)))
     rmse_size = np.sqrt(np.average(np.square(e_size)))
 
+    if args.vis != "none":
+        _browse_worst_cases(args, data_name, roi_config, predictor,
+                            {"kpts": uw_nme_3d, "rot": geodesic_errs, "size": e_size})
+
     builder.add_row(
         model=net_filename,
         data=data_name,
@@ -164,6 +168,49 @@ def report(net_filename, data_name, roi_config: RoiConfig, args, builder: TableB
         unweighted_nme_3d=float(np.average(uw_nme_3d)) if uw_nme_3d is not None else None,
         nme_2d=nme_2d,
     )
+
+
+def _browse_worst_cases(args, data_name, roi_config, predictor, quantities):
+    """Page through the worst-error samples with GT/pred overlays (`--vis`)."""
+    from neuralnet_tracker_traincode_tpu import pipelines, vis
+    from neuralnet_tracker_traincode_tpu.data.batch import Batch, Metadata
+
+    quantity = quantities[args.vis]
+    if quantity is None:
+        print(f"Prediction for {args.vis} is not available.")
+        return
+    order = np.ascontiguousarray(np.argsort(quantity)[::-1])
+    loader = pipelines.make_validation_loader(
+        data_name, order=order, use_head_roi=roi_config.use_head_roi
+    )
+
+    def iter_gt_and_preds():
+        for sample in loader:
+            image = np.asarray(sample["image"])
+            pred = predictor.predict_batch([image], np.asarray(sample["roi"])[None])
+            pred_frame = next(iter(pred.undo_collate()))
+            yield (sample, pred_frame)
+
+    if args.vis_outdir:
+        import itertools
+        import os
+
+        os.makedirs(args.vis_outdir, exist_ok=True)
+        for i, gp in zip(range(32), iter_gt_and_preds()):
+            img = vis.draw_prediction(gp)
+            import cv2
+
+            cv2.imwrite(join(args.vis_outdir, f"worst_{i:03d}.png"), img[..., ::-1])
+        print(f"Wrote worst-case overlays to {args.vis_outdir}")
+    else:
+        import matplotlib
+
+        matplotlib.use("TkAgg")
+        from matplotlib import pyplot
+
+        fig, btn = vis.matplotlib_plot_iterable(iter_gt_and_preds(), vis.draw_prediction)
+        fig.suptitle(f"{data_name} / {roi_config}")
+        pyplot.show()
 
 
 def run(args):
@@ -203,4 +250,12 @@ if __name__ == "__main__":
     parser.add_argument("--roi-expansion", default=None, type=float)
     parser.add_argument("--json", type=str, default=None)
     parser.add_argument("--ds", type=str, default="aflw2k3d")
+    parser.add_argument(
+        "--vis", default="none", choices=["none", "kpts", "rot", "size"],
+        help="Browse worst-case samples by this error quantity",
+    )
+    parser.add_argument(
+        "--vis-outdir", default=None, type=str,
+        help="Save worst-case overlays here instead of an interactive window",
+    )
     run(parser.parse_args())

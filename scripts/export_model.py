@@ -18,6 +18,48 @@ import numpy as np
 sys.path.insert(0, join(dirname(realpath(__file__)), ".."))
 
 
+def _calibrate(args, model, variables, onnx_export):
+    """Activation ranges for PTQ from deterministic eval crops of real data."""
+    import jax.numpy as jnp
+
+    from neuralnet_tracker_traincode_tpu import pipelines
+    from neuralnet_tracker_traincode_tpu.augmentation.pipeline import crop_for_eval
+
+    fp32_blob = onnx_export.build_posenet_onnx(model, variables)
+    loader = pipelines.make_validation_loader(args.calib_ds)
+    batches = []
+    batch_imgs, batch_rois = [], []
+    res = model.input_resolution
+    pad = 0
+    count = 0
+    for sample in loader:
+        if count >= args.calib_samples:
+            break
+        img = np.asarray(sample["image"])
+        if img.ndim == 2:
+            img = img[..., None]
+        batch_imgs.append(img)
+        batch_rois.append(np.asarray(sample["roi"], np.float32))
+        pad = max(pad, img.shape[0], img.shape[1])
+        count += 1
+        if len(batch_imgs) == 32:
+            batches.append((batch_imgs, batch_rois, pad))
+            batch_imgs, batch_rois, pad = [], [], 0
+    if batch_imgs:
+        batches.append((batch_imgs, batch_rois, pad))
+    print(f"Calibrating on {count} samples from {args.calib_ds}")
+
+    def crops():
+        for imgs, rois, padsz in batches:
+            x = np.zeros((len(imgs), padsz, padsz, 1), np.uint8)
+            for j, im in enumerate(imgs):
+                x[j, : im.shape[0], : im.shape[1]] = im[..., :1]
+            c, _ = crop_for_eval(jnp.asarray(x), jnp.asarray(np.stack(rois)), res)
+            yield np.moveaxis(np.asarray(c), -1, 1)
+
+    return onnx_export.calibrate_conv_ranges(fp32_blob, crops())
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("checkpoint", help="model checkpoint (.ckpt/.nnckpt)")
@@ -26,7 +68,16 @@ def main():
         "--localizer", action="store_true", help="export a LocalizerNet checkpoint"
     )
     parser.add_argument("--no-parity-check", dest="parity", action="store_false", default=True)
-    parser.add_argument("--atol", type=float, default=1e-4)
+    parser.add_argument("--atol", type=float, default=None,
+                        help="parity tolerance (default 1e-4, 5e-2 for --half)")
+    parser.add_argument("--half", "--posehalf", dest="half", action="store_true", default=False,
+                        help="store weights as FLOAT16 (reference's onnxconverter fp16 pass)")
+    parser.add_argument("--quantize", action="store_true", default=False,
+                        help="static int8 PTQ of the backbone convs (QDQ form), "
+                             "calibrated on --calib-ds crops")
+    parser.add_argument("--calib-ds", type=str, default="aflw2k3d",
+                        help="dataset name or .h5 path for quantization calibration")
+    parser.add_argument("--calib-samples", type=int, default=256)
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -41,11 +92,20 @@ def main():
     from neuralnet_tracker_traincode_tpu.models.localizer import LocalizerNet
 
     if args.localizer or isinstance(model, LocalizerNet):
+        assert not args.half, "fp16 export is implemented for the pose net"
         blob = onnx_export.build_localizer_onnx(model, variables)
         in_shape = (1,) + tuple(model.input_resolution) + (1,)
     else:
-        blob = onnx_export.build_posenet_onnx(model, variables)
+        quant_ranges = None
+        if args.quantize:
+            quant_ranges = _calibrate(args, model, variables, onnx_export)
+        blob = onnx_export.build_posenet_onnx(
+            model, variables, fp16=args.half, quant_ranges=quant_ranges
+        )
         in_shape = (1, model.input_resolution, model.input_resolution, 1)
+    atol = args.atol if args.atol is not None else (
+        2e-1 if args.quantize else 5e-2 if args.half else 1e-4
+    )
 
     with open(out_path, "wb") as f:
         f.write(blob)
@@ -76,10 +136,10 @@ def main():
         for k, v in ref.items():
             err = float(np.abs(outs[k] - np.asarray(v)).max())
             worst = max(worst, err)
-            status = "OK" if err <= args.atol else "FAIL"
+            status = "OK" if err <= atol else "FAIL"
             print(f"  parity {k}: max err {err:.2e} [{status}]")
-        if worst > args.atol:
-            raise SystemExit(f"Parity check failed: {worst} > {args.atol}")
+        if worst > atol:
+            raise SystemExit(f"Parity check failed: {worst} > {atol}")
         print("Parity check passed.")
 
 

@@ -118,3 +118,56 @@ def test_clear_denormals():
     tree = {"a": np.asarray([1e-30, 1.0, -1e-25], np.float32)}
     out = onnx_export.clear_denormals(tree)
     np.testing.assert_array_equal(out["a"], [0.0, 1.0, 0.0])
+
+
+def test_posenet_onnx_resnet18_parity(rng):
+    model = NetworkWithPointHead(enable_point_head=True, config="resnet18")
+    variables = _init(model, (1, 129, 129, 1))
+    blob = onnx_export.build_posenet_onnx(model, variables)
+    sess = onnx_run.NumpyOnnxSession(blob)
+    x_nhwc = (rng.rand(2, 129, 129, 1).astype(np.float32) - 0.5)
+    ref = model.apply(variables, jnp.asarray(x_nhwc), train=False)
+    out = dict(zip(sess.output_names, sess.run(None, {"x": np.moveaxis(x_nhwc, -1, 1)})))
+    np.testing.assert_allclose(out["quat"], np.asarray(ref["pose"]), atol=1e-4)
+    np.testing.assert_allclose(out["pos_size"], np.asarray(ref["coord"]), atol=1e-4)
+    np.testing.assert_allclose(out["box"], np.asarray(ref["roi"]), atol=1e-4)
+
+
+def test_posenet_onnx_fp16(posenet_and_vars, rng):
+    model, variables = posenet_and_vars
+    blob = onnx_export.build_posenet_onnx(model, variables, fp16=True)
+    blob32 = onnx_export.build_posenet_onnx(model, variables)
+    assert len(blob) < 0.6 * len(blob32)  # weights actually stored as fp16
+    sess = onnx_run.NumpyOnnxSession(blob)
+    x_nhwc = (rng.rand(2, 129, 129, 1).astype(np.float32) - 0.5)
+    ref = model.apply(variables, jnp.asarray(x_nhwc), train=False)
+    out = dict(zip(sess.output_names, sess.run(None, {"x": np.moveaxis(x_nhwc, -1, 1)})))
+    for k in out:
+        assert out[k].dtype == np.float32  # boundary casts back to fp32
+    np.testing.assert_allclose(out["quat"], np.asarray(ref["pose"]), atol=5e-2)
+    np.testing.assert_allclose(out["pos_size"], np.asarray(ref["coord"]), atol=5e-2)
+    np.testing.assert_allclose(out["box"], np.asarray(ref["roi"]), atol=5e-2)
+
+
+def test_posenet_onnx_int8_ptq(rng):
+    model = NetworkWithPointHead(enable_point_head=True, config="mobilenetv1")
+    variables = _init(model, (1, 129, 129, 1))
+    fp32_blob = onnx_export.build_posenet_onnx(model, variables)
+    calib = [rng.rand(4, 1, 129, 129).astype(np.float32) - 0.5 for _ in range(2)]
+    ranges = onnx_export.calibrate_conv_ranges(fp32_blob, calib)
+    assert len(ranges) == 27  # stem + 13 blocks x 2 convs
+    blob = onnx_export.build_posenet_onnx(model, variables, quant_ranges=ranges)
+
+    m = onnx_run.load_model(blob)
+    int8_weights = [v for v in m.initializers.values() if v.dtype == np.int8 and v.ndim == 4]
+    assert len(int8_weights) == 27  # every backbone conv weight stored as int8
+
+    sess32 = onnx_run.NumpyOnnxSession(fp32_blob)
+    sess8 = onnx_run.NumpyOnnxSession(blob)
+    x = calib[0][:2]
+    out32 = dict(zip(sess32.output_names, sess32.run(None, {"x": x})))
+    out8 = dict(zip(sess8.output_names, sess8.run(None, {"x": x})))
+    for k in ("quat", "pos_size", "box"):
+        np.testing.assert_allclose(out8[k], out32[k], atol=2e-1)
+    # quat must still be normalized exactly (normalization is fp32)
+    np.testing.assert_allclose(np.linalg.norm(out8["quat"], axis=-1), 1.0, atol=1e-5)
