@@ -170,6 +170,7 @@ def main():
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--pad-size", type=int, default=None)
     parser.add_argument("--plot-save-filename", default=None)
+    parser.add_argument("--samples-per-epoch", default=10 * 1024, type=int)
     parser.add_argument(
         "--resume", default=None, type=str,
         help="Resume from a training-state file ('auto' = <outdir>/resume.msgpack)",
@@ -226,7 +227,7 @@ def main():
         batchsize=args.batchsize,
         lr=args.lr,
         epochs=args.epochs,
-        samples_per_epoch=10 * 1024,
+        samples_per_epoch=args.samples_per_epoch,
         swa_start_epoch=(args.epochs * 2 // 3) if args.swa else None,
         aug=aug_cfg,
     )
