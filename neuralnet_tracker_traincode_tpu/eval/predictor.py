@@ -108,10 +108,17 @@ class OnnxPoseNetwork(InferenceNetwork):
             self._single_frame = isinstance(self.session.get_inputs()[0].shape[0], int)
             self._legacy_coords = self.session.get_modelmeta().version not in (2, 3, 4)
         except ImportError:
-            # Fall back to the bundled numpy executor (slow but dependency-free).
-            from neuralnet_tracker_traincode_tpu.export.onnx_run import NumpyOnnxSession
+            # Fall back to the bundled executors: JAX backend (runs the graph
+            # on the accelerator, jit per shape), then pure numpy.
+            from neuralnet_tracker_traincode_tpu.export.onnx_run import (
+                JaxOnnxSession,
+                NumpyOnnxSession,
+            )
 
-            self.session = NumpyOnnxSession(modelfile)
+            try:
+                self.session = JaxOnnxSession(modelfile)
+            except Exception:
+                self.session = NumpyOnnxSession(modelfile)
             self.output_names = [
                 self.NAMEMAP.get(n, n) for n in self.session.output_names
             ]

@@ -301,3 +301,155 @@ class NumpyOnnxSession:
         out = run(self.model, feeds)
         names = output_names or self.model.output_names
         return [out[n] for n in names]
+
+
+def _jax_exec(model: OnnxModel, inits, feeds):
+    """Trace the decoded graph with jnp/lax (called under jax.jit)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    env = dict(inits)
+    env.update(feeds)
+    for node in model.nodes:
+        i = [env[n] if n else None for n in node.inputs]
+        a = node.attrs
+        op = node.op_type
+        if op == "Conv":
+            y = lax.conv_general_dilated(
+                i[0].astype(jnp.float32), i[1].astype(jnp.float32),
+                window_strides=a.get("strides", [1, 1]),
+                padding=[(p0, p1) for p0, p1 in zip(
+                    a.get("pads", [0, 0, 0, 0])[:2], a.get("pads", [0, 0, 0, 0])[2:]
+                )],
+                feature_group_count=a.get("group", 1),
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )
+            if len(i) > 2 and i[2] is not None:
+                y = y + i[2].astype(jnp.float32)[None, :, None, None]
+        elif op == "Relu":
+            y = jnp.maximum(i[0], 0)
+        elif op == "Elu":
+            alpha = a.get("alpha", 1.0)
+            y = jnp.where(i[0] > 0, i[0], alpha * (jnp.exp(jnp.minimum(i[0], 0.0)) - 1))
+        elif op == "Add":
+            y = i[0] + i[1]
+        elif op == "Sub":
+            y = i[0] - i[1]
+        elif op == "Mul":
+            y = i[0] * i[1]
+        elif op == "Div":
+            y = i[0] / i[1]
+        elif op == "Sqrt":
+            y = jnp.sqrt(i[0])
+        elif op == "Gemm":
+            w = i[1].T if a.get("transB", 0) else i[1]
+            y = i[0] @ w + (i[2] if len(i) > 2 else 0)
+        elif op == "MatMul":
+            y = i[0] @ i[1]
+        elif op == "Concat":
+            y = jnp.concatenate(i, axis=a["axis"])
+        elif op == "Slice":
+            starts, ends, axes = (np.asarray(x) for x in (i[1], i[2], i[3]))
+            sl = [slice(None)] * i[0].ndim
+            for s_, e_, ax in zip(starts, ends, axes):
+                sl[int(ax)] = slice(int(s_), int(e_))
+            y = i[0][tuple(sl)]
+        elif op == "Reshape":
+            y = i[0].reshape([int(d) for d in np.asarray(i[1])])
+        elif op == "Unsqueeze":
+            y = jnp.expand_dims(i[0], tuple(int(d) for d in np.asarray(i[1])))
+        elif op == "Flatten":
+            y = i[0].reshape(i[0].shape[0], -1)
+        elif op == "GlobalAveragePool":
+            y = i[0].mean(axis=(2, 3), keepdims=True)
+        elif op == "ReduceMean":
+            y = i[0].mean(axis=tuple(a["axes"]), keepdims=bool(a.get("keepdims", 1)))
+        elif op == "ReduceL2":
+            y = jnp.sqrt(
+                jnp.square(i[0]).sum(axis=tuple(a["axes"]), keepdims=bool(a.get("keepdims", 1)))
+            )
+        elif op == "Clip":
+            lo = i[1] if len(i) > 1 and i[1] is not None else -jnp.inf
+            hi = i[2] if len(i) > 2 and i[2] is not None else jnp.inf
+            y = jnp.clip(i[0], lo, hi)
+        elif op == "Softmax":
+            y = jax.nn.softmax(i[0], axis=a.get("axis", -1))
+        elif op == "Identity":
+            y = i[0]
+        elif op == "Transpose":
+            y = jnp.transpose(i[0], a["perm"])
+        elif op == "Cast":
+            y = i[0].astype(_ONNX_TO_NP[a["to"]])
+        elif op == "QuantizeLinear":
+            scale, zp = i[1], i[2]
+            info = np.iinfo(zp.dtype)
+            y = jnp.clip(jnp.round(i[0] / scale) + zp, info.min, info.max).astype(zp.dtype)
+        elif op == "DequantizeLinear":
+            scale, zp = jnp.asarray(i[1]), jnp.asarray(i[2])
+            if scale.ndim == 1 and scale.size > 1:
+                ax = a.get("axis", 1)
+                shape = [1] * i[0].ndim
+                shape[ax] = scale.size
+                scale = scale.reshape(shape)
+                zp = zp.reshape(shape)
+            y = (i[0].astype(jnp.float32) - zp.astype(jnp.float32)) * scale
+        elif op == "MaxPool":
+            kh, kw = a["kernel_shape"]
+            sh, sw = a.get("strides", [1, 1])
+            pt, pl, pb, pr = a.get("pads", [0, 0, 0, 0])
+            y = lax.reduce_window(
+                i[0], -jnp.inf, lax.max, (1, 1, kh, kw), (1, 1, sh, sw),
+                ((0, 0), (0, 0), (pt, pb), (pl, pr)),
+            )
+        else:
+            raise NotImplementedError(f"op {op} (jax backend)")
+        env[node.outputs[0]] = y
+    return {name: env[name] for name in model.output_names}
+
+
+class JaxOnnxSession:
+    """Execute a decoded ONNX graph on the JAX default device (jit per shape).
+
+    Same facade as NumpyOnnxSession; used by the evaluation path so `.onnx`
+    models run on the TPU instead of the single-core-host numpy executor
+    (which remains the backend-independent verification reference).
+    Slice/Reshape index tensors stay host-side constants; no gather-prone
+    constants reach the compiled program.
+    """
+
+    def __init__(self, path_or_bytes):
+        import functools
+
+        import jax
+
+        if isinstance(path_or_bytes, (str,)):
+            with open(path_or_bytes, "rb") as f:
+                path_or_bytes = f.read()
+        self.model = load_model(path_or_bytes)
+        # Index tensors (int64 slice/shape operands) must stay host-side;
+        # everything else ships to the device as arguments.
+        self._host_inits = {
+            k: v for k, v in self.model.initializers.items() if v.dtype == np.int64
+        }
+        self._dev_inits = {
+            k: v for k, v in self.model.initializers.items() if v.dtype != np.int64
+        }
+
+        def fn(dev_inits, feeds):
+            return _jax_exec(self.model, {**self._host_inits, **dev_inits}, feeds)
+
+        self._fn = jax.jit(fn)
+
+    @property
+    def output_names(self):
+        return self.model.output_names
+
+    @property
+    def model_version(self):
+        return self.model.model_version
+
+    def run(self, output_names, feeds):
+        out = self._fn(self._dev_inits, {k: np.asarray(v) for k, v in feeds.items()})
+        names = output_names or self.model.output_names
+        return [np.asarray(out[n]) for n in names]

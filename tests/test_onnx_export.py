@@ -171,3 +171,25 @@ def test_posenet_onnx_int8_ptq(rng):
         np.testing.assert_allclose(out8[k], out32[k], atol=2e-1)
     # quat must still be normalized exactly (normalization is fp32)
     np.testing.assert_allclose(np.linalg.norm(out8["quat"], axis=-1), 1.0, atol=1e-5)
+
+
+def test_jax_onnx_session_matches_numpy(posenet_and_vars, rng):
+    model, variables = posenet_and_vars
+    blob = onnx_export.build_posenet_onnx(model, variables)
+    s_np = onnx_run.NumpyOnnxSession(blob)
+    s_jx = onnx_run.JaxOnnxSession(blob)
+    assert s_jx.output_names == s_np.output_names
+    x = np.moveaxis(rng.rand(2, 129, 129, 1).astype(np.float32) - 0.5, -1, 1)
+    out_np = s_np.run(None, {"x": x})
+    out_jx = s_jx.run(None, {"x": x})
+    for a, b in zip(out_np, out_jx):
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+    # quantized graph (QDQ ops) must run identically on both backends
+    calib = [x]
+    ranges = onnx_export.calibrate_conv_ranges(blob, calib)
+    qblob = onnx_export.build_posenet_onnx(model, variables, quant_ranges=ranges)
+    out_qnp = onnx_run.NumpyOnnxSession(qblob).run(None, {"x": x})
+    out_qjx = onnx_run.JaxOnnxSession(qblob).run(None, {"x": x})
+    for a, b in zip(out_qnp, out_qjx):
+        np.testing.assert_allclose(a, b, atol=5e-3)
