@@ -13,7 +13,7 @@ NCHW float32 like the reference's exports.
 """
 
 import math
-from typing import Any, Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -419,8 +419,6 @@ class JaxOnnxSession:
     """
 
     def __init__(self, path_or_bytes):
-        import functools
-
         import jax
 
         if isinstance(path_or_bytes, (str,)):

@@ -38,7 +38,7 @@ import re
 import sys
 from os.path import dirname, join, realpath
 from pathlib import Path
-from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 from scipy.spatial.transform import Rotation
