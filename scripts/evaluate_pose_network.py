@@ -237,7 +237,7 @@ def run(args):
         print(builder.build())
 
 
-if __name__ == "__main__":
+def main():
     parser = argparse.ArgumentParser(description="Evaluate pose networks")
     parser.add_argument("filenames", help="checkpoint or onnx model files", type=str, nargs="*")
     parser.add_argument("--device", default="tpu", type=str)
@@ -259,3 +259,7 @@ if __name__ == "__main__":
         help="Save worst-case overlays here instead of an interactive window",
     )
     run(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()
