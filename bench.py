@@ -24,13 +24,47 @@ REFERENCE_BASELINE_IPS = 3000.0
 
 # Default config mirrors the reference's training run: MobileNetV1, batch 64,
 # NLL heads on, full augmentation, 450x450 sources (300W-LP image size).
-BATCH = int(os.environ.get("BENCH_BATCH", 128))
+# Per-step cost on one v5e chip is dispatch-dominated for this tiny model, so
+# throughput grows with batch until the MXU saturates (measured: b128 ~30k,
+# b256 ~34k, b512 ~56-158k, b1024 ~188k images/s/chip). XLA:TPU compile time
+# through the tunnel varies wildly at large batches, so without BENCH_BATCH
+# set, main() tries the largest batch in a subprocess with a timeout and
+# falls back (512 -> 256 -> 128); a persistent compilation cache makes
+# repeat runs cheap.
+BATCH = int(os.environ.get("BENCH_BATCH", 0))
 SRC = int(os.environ.get("BENCH_SRC", 448))
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
+CACHE_DIR = os.path.join(dirname(realpath(__file__)), ".cache", "jax")
+
+
+def orchestrate():
+    """Try batch sizes large->small, each as a subprocess with a timeout."""
+    import subprocess
+
+    for batch, budget in ((512, 480), (256, 360), (128, 600)):
+        env = dict(os.environ, BENCH_BATCH=str(batch))
+        try:
+            out = subprocess.run(
+                [sys.executable, realpath(__file__)],
+                env=env, capture_output=True, text=True, timeout=budget,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"batch {batch} exceeded {budget}s; falling back", file=sys.stderr)
+            continue
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        print(f"batch {batch} failed rc={out.returncode}", file=sys.stderr)
+    raise SystemExit("all bench configurations failed")
 
 
 def main():
     import jax
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -78,7 +112,7 @@ def main():
 
     rng = np.random.RandomState(0)
     batch = {
-        "image": (rng.rand(BATCH, SRC, SRC, 1) * 255).astype(np.uint8),
+        "image": rng.randint(0, 256, size=(BATCH, SRC, SRC, 1), dtype=np.uint8),
         "pose": np.tile(np.asarray([0.0, 0, 0, 1], np.float32), (BATCH, 1)),
         "coord": (rng.rand(BATCH, 3) * 100 + 100).astype(np.float32),
         "roi": np.tile(np.asarray([100.0, 100, 350, 350], np.float32), (BATCH, 1)),
@@ -119,4 +153,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if BATCH == 0:
+        orchestrate()
+    else:
+        main()
