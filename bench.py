@@ -25,8 +25,8 @@ REFERENCE_BASELINE_IPS = 3000.0
 # Default config mirrors the reference's training run: MobileNetV1, batch 64,
 # NLL heads on, full augmentation, 450x450 sources (300W-LP image size).
 # Per-step cost on one v5e chip is dispatch-dominated for this tiny model, so
-# throughput grows with batch until the MXU saturates (measured: b128 ~30k,
-# b256 ~34k, b512 ~56-158k, b1024 ~188k images/s/chip). XLA:TPU compile time
+# throughput grows with batch until the MXU saturates (measured with honest
+# per-step keys: b128 ~30k, b512 ~63k images/s/chip). XLA:TPU compile time
 # through the tunnel varies wildly at large batches, so without BENCH_BATCH
 # set, main() tries the largest batch in a subprocess with a timeout and
 # falls back (512 -> 256 -> 128); a persistent compilation cache makes
@@ -132,9 +132,12 @@ def main():
     state, metrics = trainer.train_step(state, sharded, W, key)
     jax.block_until_ready(metrics["loss"])
 
+    # Distinct key per step like real training: the axon runtime elides
+    # dispatches with fully identical arguments, which would inflate the
+    # number (measured: same-key aug-only steps report 0.05 ms vs 30 ms real).
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = trainer.train_step(state, sharded, W, key)
+    for i in range(STEPS):
+        state, metrics = trainer.train_step(state, sharded, W, jax.random.fold_in(key, i))
     jax.block_until_ready(metrics["loss"])
     dt = (time.perf_counter() - t0) / STEPS
     n_chips = len(jax.devices())

@@ -155,6 +155,13 @@ def intensity_augmentation_noise(key: jax.Array, images: jax.Array) -> jax.Array
 
 
 def intensity_augmentation(key: jax.Array, images: jax.Array) -> jax.Array:
+    """Full intensity stack. The optimization barriers around stage1 are
+    load-bearing: letting XLA:TPU fuse stage1 into the upstream warp gather
+    (and the downstream noise) triggers a pathological lowering costing
+    ~43 ms/step at batch 512 vs 0.4 ms with the barriers (measured on v5e;
+    same family as the constant-gather slow path documented in warp.py).
+    Barriers are identity ops — numerics are unchanged. Do not remove."""
     k1, k2 = jax.random.split(key)
-    x = intensity_augmentation_stage1(k1, images)
+    x = intensity_augmentation_stage1(k1, jax.lax.optimization_barrier(images))
+    x = jax.lax.optimization_barrier(x)
     return intensity_augmentation_noise(k2, x)
