@@ -26,7 +26,7 @@ REFERENCE_BASELINE_IPS = 3000.0
 # NLL heads on, full augmentation, 450x450 sources (300W-LP image size).
 # Per-step cost on one v5e chip is dispatch-dominated for this tiny model, so
 # throughput grows with batch until the MXU saturates (measured with honest
-# per-step keys: b128 ~30k, b512 ~63k images/s/chip). XLA:TPU compile time
+# per-step keys: b128 ~30k, b512 ~127-141k images/s/chip). XLA:TPU compile time
 # through the tunnel varies wildly at large batches, so without BENCH_BATCH
 # set, main() tries the largest batch in a subprocess with a timeout and
 # falls back (512 -> 256 -> 128); a persistent compilation cache makes

@@ -189,6 +189,11 @@ class PoseTrainer:
                 k_aug, batch["image"], labels, categories, cfg.aug,
                 param_index=batch.get("param_index"),
             )
+            # Keep XLA from fusing the augmentation program into the model
+            # forward: cross-stage fusions of the warp gather have measured
+            # pathological lowerings on the TPU backend (see intensity.py).
+            # Identity op, no numeric effect.
+            x = jax.lax.optimization_barrier(x)
 
             def loss_fn(params):
                 variables = {"params": params}
