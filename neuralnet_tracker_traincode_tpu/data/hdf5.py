@@ -70,6 +70,60 @@ class ImageDs:
         raise NotImplementedError
 
 
+def jpeg_dimensions(buf: np.ndarray):
+    """(height, width) from the SOF marker of a JPEG buffer, or None."""
+    b = memoryview(buf.tobytes() if isinstance(buf, np.ndarray) else buf)
+    if len(b) < 4 or bytes(b[:2]) != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        length = (b[i + 2] << 8) | b[i + 3]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):  # SOFn
+            h = (b[i + 5] << 8) | b[i + 6]
+            w = (b[i + 7] << 8) | b[i + 8]
+            return h, w
+        i += 2 + length
+    return None
+
+
+class RawJpegBuffer:
+    """Undecoded JPEG bytes standing in for a (h, w, 1) image array.
+
+    Produced by the raw-image fast path (`use_raw_images`) so the loader can
+    decode whole batches with the native threaded libjpeg pack instead of
+    per-sample python calls. Exposes just enough array surface (.shape/.ndim)
+    for size probing and metadata.
+    """
+
+    __slots__ = ("buffer", "height", "width")
+
+    def __init__(self, buffer: np.ndarray, height: int, width: int):
+        self.buffer = buffer
+        self.height = height
+        self.width = width
+
+    @property
+    def shape(self):
+        return (self.height, self.width, 1)
+
+    ndim = 3
+
+    def decode(self) -> np.ndarray:
+        from neuralnet_tracker_traincode_tpu.data.native_loader import decode_jpeg_gray
+
+        decoded = decode_jpeg_gray(self.buffer)
+        if decoded is None:
+            decoded = imdecode(self.buffer, color=False)
+        return _ensure_image_color_mode(decoded, True)
+
+
 class ImageVariableLengthBufferDs(ImageDs):
     """Images stored as variable-length encoded JPEG (lossy) / PNG buffers."""
 
@@ -86,6 +140,14 @@ class ImageVariableLengthBufferDs(ImageDs):
 
     def __getitem__(self, index: int):
         return self._decode(self.ds[index])
+
+    def read_raw(self, index: int):
+        """Raw varsize buffer without decoding (raw-image fast path)."""
+        return np.asarray(self.ds[index])
+
+    @property
+    def is_jpeg(self) -> bool:
+        return self._format == ImageFormat.JPG
 
     def __setitem__(self, index: int, value):
         assert (isinstance(value, np.ndarray) and value.dtype == np.uint8) or isinstance(
@@ -322,14 +384,29 @@ class Hdf5DatasetBase:
     def _get_field(self, ds: MaybeWrappedH5Dataset, index: int):
         return np.asarray(ds[index])
 
+    # When True, monochrome varsize-JPEG images are returned as RawJpegBuffer
+    # (undecoded) so the batch loader can use the native threaded decode-pack.
+    use_raw_images = False
+
     def __getitem__(self, index):
         if index < 0 or index >= len(self):
             raise IndexError(f"Index {index} on dataset of length {len(self)}")
         self._ensure_h5opened()
-        return [
-            (name, self._get_field(dataset, index))
-            for name, dataset in self._names_datasets.items()
-        ]
+        out = []
+        for name, dataset in self._names_datasets.items():
+            if (
+                self.use_raw_images
+                and self.monochrome
+                and isinstance(dataset, ImageVariableLengthBufferDs)
+                and dataset.is_jpeg
+            ):
+                raw = dataset.read_raw(index)
+                dims = jpeg_dimensions(raw)
+                if dims is not None:
+                    out.append((name, RawJpegBuffer(raw, dims[0], dims[1])))
+                    continue
+            out.append((name, self._get_field(dataset, index)))
+        return out
 
     def close(self):
         assert (self._h5file is None) == (self._names_datasets is None)

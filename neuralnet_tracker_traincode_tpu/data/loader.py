@@ -66,21 +66,43 @@ def pack_fused_batch(
             frame_weights.append(1.0 if dataset_weights is None else dataset_weights[si])
             param_index.append(start)
 
+    from neuralnet_tracker_traincode_tpu.data.hdf5 import RawJpegBuffer
+
+    def materialize(im):
+        return im.decode() if isinstance(im, RawJpegBuffer) else np.asarray(im)
+
     B = len(frames)
-    first_img = np.asarray(frames[0]["image"])
-    C = first_img.shape[-1]
-    images = np.zeros((B, pad_size, pad_size, C), np.uint8)
+    raw = [f["image"] for f in frames]
+    images = None
+    if all(isinstance(im, RawJpegBuffer) for im in raw):
+        # Fast path: decode the whole batch with the native threaded libjpeg
+        # pack straight into the padded layout (native/nntc_loader.cpp); the
+        # per-image fallback below handles a missing native lib.
+        from neuralnet_tracker_traincode_tpu.data.native_loader import pack_jpeg_batch_gray
+
+        for im in raw:
+            assert im.height <= pad_size and im.width <= pad_size, (
+                f"image {im.height}x{im.width} exceeds pad_size {pad_size}"
+            )
+        packed = pack_jpeg_batch_gray([im.buffer for im in raw], pad_size)
+        if packed is not None:
+            images = packed[0]
+    if images is None:
+        C = materialize(raw[0]).shape[-1]
+        images = np.zeros((B, pad_size, pad_size, C), np.uint8)
+        for i, im in enumerate(raw):
+            img = materialize(im)
+            h, w = img.shape[:2]
+            assert h <= pad_size and w <= pad_size, (
+                f"image {h}x{w} exceeds pad_size {pad_size}"
+            )
+            images[i, :h, :w, :] = img
     out: Dict[str, np.ndarray] = {}
     for k, shape in LABEL_SCHEMA.items():
         out[k] = np.zeros((B,) + shape, np.float32)
     out["coord_convention_id"] = np.zeros((B,), np.int32)
-    present = np.zeros((B,), bool)
 
     for i, f in enumerate(frames):
-        img = np.asarray(f["image"])
-        h, w = img.shape[:2]
-        assert h <= pad_size and w <= pad_size, f"image {h}x{w} exceeds pad_size {pad_size}"
-        images[i, :h, :w, :] = img
         for k in LABEL_SCHEMA:
             if k in f:
                 v = np.asarray(f[k])

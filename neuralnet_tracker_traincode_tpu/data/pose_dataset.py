@@ -104,7 +104,7 @@ def _find_image_size_and_give_channel_dim(values, categories):
         if (category in imagelike_categories)
     )
     for i, value in it:
-        if value.ndim == 2:
+        if isinstance(value, np.ndarray) and value.ndim == 2:
             values[i] = value = value[..., None]
         new_h, new_w, _ = value.shape
         if h is None:
@@ -115,8 +115,8 @@ def _find_image_size_and_give_channel_dim(values, categories):
     return w, h
 
 
-def _change_strange_types(value: np.ndarray) -> np.ndarray:
-    if value.dtype in (np.float16, np.float64):
+def _change_strange_types(value) -> np.ndarray:
+    if isinstance(value, np.ndarray) and value.dtype in (np.float16, np.float64):
         value = value.astype(np.float32)
     return value
 

@@ -332,6 +332,17 @@ def make_pose_estimation_loaders(
         pad_size = probe_pad_size(train_sets)
         print(f"Probed pad size: {pad_size}")
 
+    if transform is None:
+        # No host-side pixel work (roi_override='original'): serve undecoded
+        # JPEG buffers so the loader decodes whole batches with the native
+        # threaded libjpeg pack (data/loader.py pack_fused_batch fast path).
+        for ds in train_sets:
+            inner = ds
+            while hasattr(inner, "dataset"):
+                inner = inner.dataset
+            if isinstance(inner, Hdf5PoseDataset):
+                inner.use_raw_images = True
+
     tag_order = sorted({t for t in tags}, key=lambda t: t.value)
     tag_to_id = {t: i for i, t in enumerate(tag_order)}
     train_loader = FusedBatchLoader(

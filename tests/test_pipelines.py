@@ -130,3 +130,29 @@ def test_validation_loader(tmp_path, monkeypatch):
     # roi rebuilt from landmarks
     lm = np.asarray(s["pt3d_68"])
     np.testing.assert_allclose(np.asarray(s["roi"])[:2], lm[:, :2].min(axis=0), atol=1e-4)
+
+
+def test_raw_jpeg_fast_path_matches_decoded(tmp_path):
+    """pack_fused_batch over RawJpegBuffer samples is bit-identical to the
+    decoded path (both run libjpeg) and the pipeline flag enables it."""
+    from neuralnet_tracker_traincode_tpu.data.fields import Tag
+    from neuralnet_tracker_traincode_tpu.data.hdf5 import RawJpegBuffer
+    from neuralnet_tracker_traincode_tpu.data.loader import pack_fused_batch
+    from neuralnet_tracker_traincode_tpu.data.pose_dataset import Hdf5PoseDataset
+
+    p = str(tmp_path / "raw.h5")
+    write_pose_h5(p, 6, img_size=48)
+    ds_dec = Hdf5PoseDataset(p, dataclass=Tag.POSE_WITH_LANDMARKS)
+    ds_raw = Hdf5PoseDataset(p, dataclass=Tag.POSE_WITH_LANDMARKS)
+    ds_raw.use_raw_images = True
+
+    s_raw = ds_raw[0]
+    assert isinstance(s_raw["image"], RawJpegBuffer)
+    assert s_raw["image"].shape == ds_dec[0]["image"].shape
+    assert s_raw.meta.image_wh == ds_dec[0].meta.image_wh
+
+    dec = pack_fused_batch([ds_dec[i] for i in range(6)], [0] * 6, pad_size=64)
+    raw = pack_fused_batch([ds_raw[i] for i in range(6)], [0] * 6, pad_size=64)
+    np.testing.assert_array_equal(dec["image"], raw["image"])
+    for k in dec:
+        np.testing.assert_array_equal(dec[k], raw[k])
