@@ -121,7 +121,10 @@ class RawJpegBuffer:
         decoded = decode_jpeg_gray(self.buffer)
         if decoded is None:
             decoded = imdecode(self.buffer, color=False)
-        return _ensure_image_color_mode(decoded, True)
+        decoded = _ensure_image_color_mode(decoded, True)
+        if decoded.ndim == 2:  # callers expect (h, w, 1)
+            decoded = decoded[..., None]
+        return decoded
 
 
 class ImageVariableLengthBufferDs(ImageDs):

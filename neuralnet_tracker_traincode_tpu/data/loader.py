@@ -186,11 +186,21 @@ class FusedBatchLoader:
         index_iter = iter(self.sampler)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        # The sampler is typically infinite, so the worker must die with the
+        # generator: callers create an iterator per epoch, and immortal
+        # workers would pile up decoding concurrently for abandoned queues.
+        cancel = threading.Event()
 
         def worker():
             try:
-                while True:
-                    q.put(self._make_batch(index_iter))
+                while not cancel.is_set():
+                    item = self._make_batch(index_iter)
+                    while not cancel.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
             except StopIteration:
                 q.put(stop)
             except Exception as e:  # propagate into the consumer
@@ -198,13 +208,16 @@ class FusedBatchLoader:
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            cancel.set()
 
 
 def device_prefetch(iterator, mesh, size: int = 2):

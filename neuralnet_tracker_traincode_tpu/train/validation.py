@@ -14,7 +14,6 @@ import numpy as np
 
 from neuralnet_tracker_traincode_tpu.augmentation.pipeline import augment_batch_for_training
 from neuralnet_tracker_traincode_tpu.data.loader import LABEL_CATEGORIES, pack_fused_batch
-from neuralnet_tracker_traincode_tpu.parallel.mesh import shard_batch
 
 
 class FusedValidation:
@@ -72,14 +71,12 @@ class FusedValidation:
             )
             return loss, byname
 
-        self._eval_step = jax.jit(
-            eval_step,
-            in_shardings=(
-                trainer._replicated,
-                trainer._sharded,
-                trainer._replicated,
-            ),
-        )
+        # Single-device eval, no mesh shardings: validation needs no
+        # cross-device collectives, and the XLA:CPU test mesh (8 virtual
+        # devices on few cores) can hit the 40s collective-rendezvous
+        # abort when a loader thread starves one participant. Eval batches
+        # are small; params are replicated so device 0 holds a full copy.
+        self._eval_step = jax.jit(eval_step)
 
     def run(self, state, epoch: int, *recorders) -> float:
         if self._eval_step is None:
@@ -87,9 +84,13 @@ class FusedValidation:
         W = self.trainer.weight_matrix(epoch)
         losses = []
         byname_acc = {}
+        device0 = jax.devices()[0]
+        device0_state = jax.device_put(
+            jax.tree_util.tree_map(np.asarray, state), device0
+        )
+        W = jax.device_put(np.asarray(W), device0)
         for b in self._batches:
-            sb = shard_batch(b, self.trainer.mesh)
-            loss, byname = self._eval_step(state, sb, W)
+            loss, byname = self._eval_step(device0_state, b, W)
             losses.append(loss)
             for k, (vals, ws) in byname.items():
                 denom = jnp.maximum(jnp.sum(ws != 0), 1)
