@@ -166,9 +166,30 @@ class Predictor:
         net: Union[InferenceNetwork, str],
         focus_roi_expansion_factor: float = 1.1,
         device=None,
+        crop_backend: str = "device",
     ):
+        """crop_backend: "device" (default; fused on-device warp) or "cv2"
+        (host cv2 crop, bit-compatible with the reference eval pixels —
+        `image_geometric_cv2.py:138-155`)."""
+        assert crop_backend in ("device", "cv2"), crop_backend
         self._net = net if isinstance(net, InferenceNetwork) else load_pose_network(net, device)
         self._expansion = focus_roi_expansion_factor
+        self._crop_backend = crop_backend
+
+    def _crop_images_cv2(self, images: List[np.ndarray], rois: np.ndarray, size: int):
+        from neuralnet_tracker_traincode_tpu.eval.cv2_crop import (
+            compute_view_roi_np,
+            croprescale_cv2,
+        )
+
+        view_rois = compute_view_roi_np(rois, self._expansion)
+        crops = np.empty((len(images), size, size, 1), np.uint8)
+        for i, (im, vroi) in enumerate(zip(images, view_rois)):
+            im = np.asarray(im)
+            if im.ndim == 2:
+                im = im[..., None]
+            crops[i] = croprescale_cv2(im, vroi, size)
+        return jnp.asarray(crops)
 
     def predict_batch(self, images: List[np.ndarray], rois) -> Batch:
         """images: list of HWC uint8 arrays (ragged); rois: (B, 4)."""
@@ -176,18 +197,22 @@ class Predictor:
         rois = np.asarray(rois, np.float32)
         assert rois.shape == (B, 4), f"Bad roi shape {rois.shape}"
         size = self._net.input_resolution
-        # Pad ragged images to the chunk max (bucketed).
-        maxdim = _bucket_size(max(max(im.shape[0], im.shape[1]) for im in images))
-        packed = np.zeros((B, maxdim, maxdim, 1), np.uint8)
-        for i, im in enumerate(images):
-            im = np.asarray(im)
-            if im.ndim == 2:
-                im = im[..., None]
-            packed[i, : im.shape[0], : im.shape[1], :] = im
+        maxdim = max(max(im.shape[0], im.shape[1]) for im in images)
 
         params = no_roi_randomization((B,), self._expansion)
         tr = focus_roi_transform(jnp.asarray(rois), params, size)
-        crops = warp_affine(jnp.asarray(packed), tr, size)
+        if self._crop_backend == "cv2":
+            crops = self._crop_images_cv2(images, rois, size)
+        else:
+            # Pad ragged images to the chunk max (bucketed to bound recompiles).
+            maxdim = _bucket_size(maxdim)
+            packed = np.zeros((B, maxdim, maxdim, 1), np.uint8)
+            for i, im in enumerate(images):
+                im = np.asarray(im)
+                if im.ndim == 2:
+                    im = im[..., None]
+                packed[i, : im.shape[0], : im.shape[1], :] = im
+            crops = warp_affine(jnp.asarray(packed), tr, size)
         x = crops * (1.0 / 256.0) - 0.5
         preds = dict(self._net(x))
 

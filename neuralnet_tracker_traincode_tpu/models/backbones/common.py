@@ -1,7 +1,8 @@
 """Shared backbone building blocks (flax, NHWC).
 
 BlurPool contract: `trackertraincode/neuralnets/modelcomponents.py:187-205`
-(anti-aliased downsampling with a normalized Pascal kernel, reflect padding).
+(anti-aliased downsampling with a normalized Pascal kernel; kornia's
+`_blur_pool_by_kernel2d` does a depthwise conv with ZERO padding (k-1)//2).
 """
 
 from typing import Any, Callable, Optional
@@ -30,13 +31,12 @@ class BlurPool2D(nn.Module):
         k = pascal_kernel_2d(self.kernel_size)  # (k, k)
         kernel = jnp.asarray(k, self.dtype)[:, :, None, None]  # (k, k, 1, 1)
         kernel = jnp.tile(kernel, (1, 1, 1, C))  # depthwise (k, k, 1, C)
-        pad = self.kernel_size // 2
-        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+        pad = (self.kernel_size - 1) // 2
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel,
             window_strides=(self.stride, self.stride),
-            padding="VALID",
+            padding=[(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=C,
         )

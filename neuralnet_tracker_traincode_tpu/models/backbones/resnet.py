@@ -27,7 +27,10 @@ class BasicBlock(nn.Module):
         inplanes = x.shape[-1]
         identity = x
         y = x
-        if self.use_blurpool and self.stride != 1:
+        if self.use_blurpool:
+            # Reference CustomBlock wraps conv1 in (BlurPool, conv3x3-stride-1)
+            # for EVERY block — stride-1 blocks get a pure (non-downsampling)
+            # blur too (`trackertraincode/backbones/resnet.py:31-50`).
             y = BlurPool2D(kernel_size=3, stride=self.stride, dtype=self.dtype, name="blurpool")(y)
             first_stride = 1
         else:

@@ -34,11 +34,24 @@ def _bn(prefix: str, sd, params: Dict, stats: Dict, name: str):
     }
 
 
+def _depthwise(w) -> np.ndarray:
+    # torch (C, 1, k, k) -> flax (k, k, 1, C)
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
 def _convbn_block(sd, prefix: str, params: Dict, stats: Dict):
-    """MobileNet DepthWiseBlock: conv_dw/bn_dw/conv_sep/bn_sep."""
+    """MobileNet DepthWiseBlock: conv_dw/bn_dw/conv_sep/bn_sep.
+
+    With `use_blurpool`, stride-2 blocks wrap the depthwise conv in
+    Sequential(BlurPool2D, Conv2d) so its torch key becomes `conv_dw.1.weight`
+    (`trackertraincode/backbones/mobilenet_v1.py:43-54`); BlurPool itself has
+    only a fixed-kernel buffer, which our flax module computes inline.
+    """
     p, s = {}, {}
-    # Depthwise torch weight (C, 1, k, k) -> flax (k, k, 1, C)
-    p["conv_dw"] = {"kernel": np.transpose(np.asarray(sd[prefix + ".conv_dw.weight"]), (2, 3, 1, 0))}
+    dw_key = prefix + ".conv_dw.weight"
+    if dw_key not in sd:
+        dw_key = prefix + ".conv_dw.1.weight"
+    p["conv_dw"] = {"kernel": _depthwise(sd[dw_key])}
     _bn(prefix + ".bn_dw", sd, p, s, "bn_dw")
     p["conv_sep"] = {"kernel": _conv(sd[prefix + ".conv_sep.weight"])}
     _bn(prefix + ".bn_sep", sd, p, s, "bn_sep")
@@ -59,6 +72,42 @@ def _mobilenet(sd, params: Dict, stats: Dict):
     stats["convnet"] = s
 
 
+def _resnet18(sd, params: Dict, stats: Dict):
+    """Reference ResNetBackbone (`trackertraincode/backbones/resnet.py:52-104`).
+
+    The torch module is Sequential(conv1, bn1, relu, maxpool|BlurPool,
+    layer1..4, avgpool, Flatten) so keys are index-based: layers.0 = stem conv,
+    layers.1 = stem bn, layers.4..7 = the four stages. With blurpool, each
+    stage block's conv1 becomes Sequential(BlurPool2D, conv3x3) -> `conv1.1`.
+    """
+    p, s = {}, {}
+    p["conv1"] = {"kernel": _conv(sd["convnet.layers.0.weight"])}
+    _bn("convnet.layers.1", sd, p, s, "bn1")
+    n_blocks = [2, 2, 2, 2]
+    for stage in range(4):
+        for b in range(n_blocks[stage]):
+            tprefix = f"convnet.layers.{4 + stage}.{b}"
+            bp, bs = {}, {}
+            c1_key = tprefix + ".conv1.weight"
+            if c1_key not in sd:
+                c1_key = tprefix + ".conv1.1.weight"
+            bp["conv1"] = {"kernel": _conv(sd[c1_key])}
+            _bn(tprefix + ".bn1", sd, bp, bs, "bn1")
+            bp["conv2"] = {"kernel": _conv(sd[tprefix + ".conv2.weight"])}
+            _bn(tprefix + ".bn2", sd, bp, bs, "bn2")
+            if tprefix + ".downsample.0.weight" in sd:
+                bp["downsample_conv"] = {"kernel": _conv(sd[tprefix + ".downsample.0.weight"])}
+                _bn(tprefix + ".downsample.1", sd, bp, bs, "downsample_bn")
+            name = f"layer{stage + 1}_{b}"
+            p[name] = bp
+            s[name] = bs
+    params["convnet"] = p
+    stats["convnet"] = s
+
+
+_BACKBONE_CONVERTERS = {"mobilenetv1": _mobilenet, "resnet18": _resnet18}
+
+
 def _linear(sd, prefix: str) -> Dict[str, np.ndarray]:
     return {
         "kernel": _dense(sd[prefix + ".weight"]),
@@ -72,13 +121,16 @@ def _neck(sd, prefix: str) -> Dict[str, Any]:
 
 def convert_posenet_state_dict(sd: Dict[str, Any], config: Dict[str, Any]):
     """Reference NetworkWithPointHead state dict -> our flax variables."""
-    assert config.get("config", "mobilenetv1") == "mobilenetv1", (
-        "only the mobilenetv1 backbone mapping is implemented"
-    )
+    backbone = config.get("config", "mobilenetv1")
+    if backbone not in _BACKBONE_CONVERTERS:
+        raise NotImplementedError(
+            f"no state-dict mapping for backbone {backbone!r}; "
+            f"available: {sorted(_BACKBONE_CONVERTERS)}"
+        )
     sd = {k: np.asarray(v) for k, v in sd.items()}
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
-    _mobilenet(sd, params, stats)
+    _BACKBONE_CONVERTERS[backbone](sd, params, stats)
 
     uncertainty = bool(config.get("enable_uncertainty", False))
     boxnet = {"linear": _linear(sd, "boxnet.linear")}
@@ -122,6 +174,46 @@ def convert_posenet_state_dict(sd: Dict[str, Any], config: Dict[str, Any]):
     if config.get("enable_face_detector", False):
         params["face_detector"] = _linear(sd, "face_detector")
 
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_localizer_state_dict(sd: Dict[str, Any]):
+    """Reference LocalizerNet state dict -> our flax variables.
+
+    Torch layout (`trackertraincode/neuralnets/models.py:30-72`): convnet is a
+    Sequential of [initial_stage(conv,bn,relu), ds-sep conv(Sequential of 5),
+    12x mnasnet _InvertedResidual (each with .layers.{0,1,3,4,6,7}), final 1x1
+    conv]; plus boxstddev.half_size (a trainable scalar).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["initial_conv"] = {"kernel": _conv(sd["convnet.0.0.weight"])}
+    _bn("convnet.0.1", sd, params, stats, "initial_bn")
+
+    params["dsconv_dw"] = {"kernel": _depthwise(sd["convnet.1.0.weight"])}
+    _bn("convnet.1.1", sd, params, stats, "dsconv_bn1")
+    params["dsconv_pw"] = {"kernel": _conv(sd["convnet.1.3.weight"])}
+    _bn("convnet.1.4", sd, params, stats, "dsconv_bn2")
+
+    for i in range(12):
+        tprefix = f"convnet.{i + 2}.layers"
+        p, s = {}, {}
+        p["expand"] = {"kernel": _conv(sd[tprefix + ".0.weight"])}
+        _bn(tprefix + ".1", sd, p, s, "bn1")
+        p["depthwise"] = {"kernel": _depthwise(sd[tprefix + ".3.weight"])}
+        _bn(tprefix + ".4", sd, p, s, "bn2")
+        p["project"] = {"kernel": _conv(sd[tprefix + ".6.weight"])}
+        _bn(tprefix + ".7", sd, p, s, "bn3")
+        params[f"ir{i}"] = p
+        stats[f"ir{i}"] = s
+
+    params["final_conv"] = {
+        "kernel": _conv(sd["convnet.14.weight"]),
+        "bias": np.asarray(sd["convnet.14.bias"]),
+    }
+    params["boxstddev_half_size"] = np.asarray(sd["boxstddev.half_size"])
     return {"params": params, "batch_stats": stats}
 
 
