@@ -34,6 +34,7 @@ REFERENCE_BASELINE_IPS = 3000.0
 BATCH = int(os.environ.get("BENCH_BATCH", 0))
 SRC = int(os.environ.get("BENCH_SRC", 448))
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
+E2E = bool(os.environ.get("BENCH_E2E"))  # or pass --e2e
 CACHE_DIR = os.path.join(dirname(realpath(__file__)), ".cache", "jax")
 
 
@@ -57,6 +58,100 @@ def orchestrate():
             return
         print(f"batch {batch} failed rc={out.returncode}", file=sys.stderr)
     raise SystemExit("all bench configurations failed")
+
+
+def _make_e2e_dataset(path: str, n: int, src: int) -> str:
+    """Synthesize an HDF5 pose dataset with src x src JPEG images (300W-LP-like)."""
+    import cv2  # noqa: F401  (imencode used by the writer)
+    import h5py
+    import numpy as np
+
+    from neuralnet_tracker_traincode_tpu.data.fields import FieldCategory as C
+    from neuralnet_tracker_traincode_tpu.data.pose_dataset import create_pose_dataset
+
+    if os.path.isfile(path):
+        with h5py.File(path, "r") as f:
+            if len(f["images"]) == n:
+                return path
+    rng = np.random.RandomState(0)
+    with h5py.File(path, "w") as f:
+        ds = create_pose_dataset(f, C.image, count=n)
+        base = (rng.rand(src, src) * 255).astype(np.uint8)
+        for i in range(n):
+            img = np.roll(base, i * 7 % src, axis=1)
+            ds[i] = img
+        create_pose_dataset(
+            f, C.quat, count=n, dtype=np.float32,
+            data=np.tile(np.asarray([0, 0, 0, 1], np.float32), (n, 1)),
+        )
+        create_pose_dataset(
+            f, C.xys, count=n, dtype=np.float32,
+            data=(rng.rand(n, 3) * 100 + 100).astype(np.float32),
+        )
+        create_pose_dataset(
+            f, C.roi, count=n, dtype=np.float32,
+            data=np.tile(np.asarray([100.0, 100, 350, 350], np.float32), (n, 1)),
+        )
+        create_pose_dataset(
+            f, C.points, name="pt3d_68", count=n, shape_wo_batch_dim=(68, 3),
+            dtype=np.float32, data=(rng.rand(n, 68, 3) * 200 + 100).astype(np.float32),
+        )
+        create_pose_dataset(
+            f, C.general, name="shapeparams", count=n, shape_wo_batch_dim=(50,),
+            dtype=np.float16, data=rng.randn(n, 50).astype(np.float16),
+        )
+    return path
+
+
+def bench_e2e(trainer, state, mesh, W, key, batchsize: int):
+    """Sustained throughput of loader -> device prefetch -> train_step."""
+    import jax
+    import numpy as np  # noqa: F401
+
+    from neuralnet_tracker_traincode_tpu.data.fields import Tag
+    from neuralnet_tracker_traincode_tpu.data.loader import FusedBatchLoader, device_prefetch
+    from neuralnet_tracker_traincode_tpu.data.pose_dataset import Hdf5PoseDataset
+    from neuralnet_tracker_traincode_tpu.data.sampling import (
+        ConcatDataset,
+        make_concat_dataset_item_sampler,
+    )
+
+    n_steps = max(STEPS, 20)
+    path = _make_e2e_dataset("/tmp/bench_e2e.h5", 4096, SRC)
+    ds = Hdf5PoseDataset(path, dataclass=Tag.POSE_WITH_LANDMARKS)
+    ds.use_raw_images = True
+    concat = ConcatDataset([ds])
+    sampler = make_concat_dataset_item_sampler(
+        concat, [1.0], stop_after=batchsize * (n_steps + 4), seed=1
+    )
+    workers = int(os.environ.get("NUM_WORKERS", max(1, (os.cpu_count() or 1))))
+    loader = FusedBatchLoader(
+        concat,
+        tags_by_dataset_index=lambda i: Tag.POSE_WITH_LANDMARKS,
+        tag_to_id={Tag.POSE_WITH_LANDMARKS: 0},
+        sampler=sampler,
+        batchsize=batchsize,
+        pad_size=SRC,
+        num_workers=workers,
+    )
+    it = device_prefetch(iter(loader), mesh)
+    # Warm up: first batch covers loader spin-up + any remaining compiles.
+    sharded = next(it)
+    state, metrics = trainer.train_step(state, sharded, W, key)
+    jax.block_until_ready(metrics["loss"])
+
+    steps = 0
+    t0 = time.perf_counter()
+    for i, sharded in enumerate(it):
+        state, metrics = trainer.train_step(state, sharded, W, jax.random.fold_in(key, i))
+        steps += 1
+        if steps >= n_steps:
+            break
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / max(steps, 1)
+    import jax as _jax
+
+    return batchsize / dt / len(_jax.devices()), workers
 
 
 def main():
@@ -143,6 +238,23 @@ def main():
     n_chips = len(jax.devices())
     ips_per_chip = BATCH / dt / n_chips
 
+    if E2E:
+        e2e_ips, workers = bench_e2e(trainer, state, mesh, W, key, BATCH)
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e train images/sec/chip (hdf5+decode+pack -> aug+fwd+bwd)",
+                    "value": round(e2e_ips, 1),
+                    "unit": "images/s/chip",
+                    "vs_baseline": round(e2e_ips / REFERENCE_BASELINE_IPS, 3),
+                    "device_only": round(ips_per_chip, 1),
+                    "host_workers": workers,
+                    "host_cores": os.cpu_count(),
+                }
+            )
+        )
+        return
+
     print(
         json.dumps(
             {
@@ -156,6 +268,9 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--e2e" in sys.argv:
+        os.environ["BENCH_E2E"] = "1"
+        E2E = True
     if BATCH == 0:
         orchestrate()
     else:

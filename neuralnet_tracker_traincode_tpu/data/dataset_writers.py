@@ -57,10 +57,14 @@ def write_pose_hdf5(
 
         bar = tqdm.tqdm(total=count)
     i = 0
+    max_h = max_w = 0
     for sample in it:
         for key, ds in datasets.items():
             if key in sample:
                 ds[i] = sample[key]
+        img = sample.get("image")
+        if isinstance(img, np.ndarray) and img.ndim >= 2:
+            max_h, max_w = max(max_h, img.shape[0]), max(max_w, img.shape[1])
         i += 1
         if bar:
             bar.update(1)
@@ -69,6 +73,10 @@ def write_pose_hdf5(
     if bar:
         bar.close()
     assert i == count, f"Expected {count} samples, got {i}"
+    if max_h:
+        # Lets the training loader size its static pad without probing
+        # (pipelines.probe_pad_size), closing the oversized-image edge case.
+        f.attrs["max_image_hw"] = np.asarray([max_h, max_w], np.int32)
 
 
 def _chain_one(first, rest):

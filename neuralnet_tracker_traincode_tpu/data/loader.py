@@ -38,17 +38,26 @@ LABEL_CATEGORIES = {
 }
 
 
+def _bucket(n: int, multiple: int = 64) -> int:
+    return int(-(-int(n) // multiple) * multiple)
+
+
 def pack_fused_batch(
     samples: Sequence[Batch],
     tag_ids: Sequence[int],
     pad_size: int,
     dataset_weights: Optional[Sequence[float]] = None,
+    decode_threads: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Pack per-sample Batches into one fixed-shape fused batch dict.
 
     Images are zero-padded into (B, pad_size, pad_size, C) WITHOUT rescaling so
     pixel coordinates stay valid. Samples may be single frames or sequences
     (sequences contribute their frames with a shared param_index).
+
+    An image larger than `pad_size` (e.g. a dataset whose biggest frame escaped
+    the size probe) grows this batch's padding to the next 64-multiple instead
+    of failing; the consumer pays one extra XLA compile per new bucket.
     """
     frames: List[Batch] = []
     frame_tags: List[int] = []
@@ -73,6 +82,16 @@ def pack_fused_batch(
 
     B = len(frames)
     raw = [f["image"] for f in frames]
+
+    def image_dims(im):
+        if isinstance(im, RawJpegBuffer):
+            return im.height, im.width
+        return np.asarray(im).shape[:2]
+
+    largest = max(max(image_dims(im)) for im in raw)
+    if largest > pad_size:
+        pad_size = _bucket(largest)
+
     images = None
     if all(isinstance(im, RawJpegBuffer) for im in raw):
         # Fast path: decode the whole batch with the native threaded libjpeg
@@ -80,11 +99,7 @@ def pack_fused_batch(
         # per-image fallback below handles a missing native lib.
         from neuralnet_tracker_traincode_tpu.data.native_loader import pack_jpeg_batch_gray
 
-        for im in raw:
-            assert im.height <= pad_size and im.width <= pad_size, (
-                f"image {im.height}x{im.width} exceeds pad_size {pad_size}"
-            )
-        packed = pack_jpeg_batch_gray([im.buffer for im in raw], pad_size)
+        packed = pack_jpeg_batch_gray([im.buffer for im in raw], pad_size, decode_threads)
         if packed is not None:
             images = packed[0]
     if images is None:
@@ -93,9 +108,6 @@ def pack_fused_batch(
         for i, im in enumerate(raw):
             img = materialize(im)
             h, w = img.shape[:2]
-            assert h <= pad_size and w <= pad_size, (
-                f"image {h}x{w} exceeds pad_size {pad_size}"
-            )
             images[i, :h, :w, :] = img
     out: Dict[str, np.ndarray] = {}
     for k, shape in LABEL_SCHEMA.items():
@@ -137,7 +149,14 @@ class FusedBatchLoader:
         pad_size: int,
         dataset_weight_by_index: Optional[Callable[[int], float]] = None,
         prefetch: int = 4,
+        num_workers: int = 0,
     ):
+        """num_workers: 0/1 = one producer thread (deterministic batch
+        composition); N>1 = N producer threads pulling from a shared, locked
+        sampler stream. HDF5 reads and the native JPEG decode release the GIL,
+        so producers scale with host cores; batch composition then depends on
+        thread interleaving (the sampler is an infinite random mix, so the
+        training distribution is unchanged)."""
         self.ds = concat_dataset
         self.tags_by_dataset_index = tags_by_dataset_index
         self.tag_to_id = tag_to_id
@@ -145,7 +164,8 @@ class FusedBatchLoader:
         self.batchsize = batchsize
         self.pad_size = pad_size
         self.dataset_weight_by_index = dataset_weight_by_index
-        self.prefetch = prefetch
+        self.prefetch = max(prefetch, 2 * max(1, num_workers))
+        self.num_workers = max(1, int(num_workers))
         self._cumsizes = np.asarray(self.ds.cumulative_sizes)
 
     def _dataset_index(self, global_index: int) -> int:
@@ -170,7 +190,11 @@ class FusedBatchLoader:
                 else self.dataset_weight_by_index(dsi)
             )
             frames += n
-        batch = pack_fused_batch(samples, tag_ids, self.pad_size, weights)
+        # Split decode threads across producers to avoid oversubscription.
+        import os as _os
+
+        decode_threads = max(1, (_os.cpu_count() or 1) // self.num_workers)
+        batch = pack_fused_batch(samples, tag_ids, self.pad_size, weights, decode_threads)
         B = batch["tag_id"].shape[0]
         if B < self.batchsize:
             # Pad with repeats of the first frame at weight 0 to keep shapes static.
@@ -183,10 +207,30 @@ class FusedBatchLoader:
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        index_iter = iter(self.sampler)
+        raw_iter = iter(self.sampler)
+        if self.num_workers > 1:
+            # Shared sampler stream: producers pull indices under a lock (the
+            # expensive work — HDF5 reads, native decode — happens outside it).
+            lock = threading.Lock()
+
+            def locked_next():
+                with lock:
+                    return next(raw_iter)
+
+            class _LockedIter:
+                def __iter__(self):
+                    return self
+
+                def __next__(self):
+                    return locked_next()
+
+            index_iter = _LockedIter()
+        else:
+            index_iter = raw_iter
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
-        # The sampler is typically infinite, so the worker must die with the
+        # The sampler is typically infinite, so workers must die with the
         # generator: callers create an iterator per epoch, and immortal
         # workers would pile up decoding concurrently for abandoned queues.
         cancel = threading.Event()
@@ -206,13 +250,20 @@ class FusedBatchLoader:
             except Exception as e:  # propagate into the consumer
                 q.put(e)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        threads = [
+            threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+        stopped = 0
         try:
             while True:
                 item = q.get()
                 if item is stop:
-                    return
+                    stopped += 1
+                    if stopped == self.num_workers:
+                        return
+                    continue
                 if isinstance(item, Exception):
                     raise item
                 yield item

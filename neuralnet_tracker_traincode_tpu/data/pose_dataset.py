@@ -183,6 +183,8 @@ class Hdf5PoseDataset(Hdf5DatasetBase):
     def _init_from_file(self, f: h5py.File, whitelist: Whitelist):
         names_datasets = super()._init_from_file(f, whitelist)
         self._categories = _get_categories_of_h5datasets(names_datasets)
+        hw = f.attrs.get("max_image_hw")
+        self._max_image_hw = None if hw is None else tuple(int(v) for v in hw)
         if "sequence_starts" in f:
             self._sequence_starts = np.array(f["sequence_starts"][...]).astype(np.int32)
             self._frame_to_individual = np.concatenate(
@@ -191,6 +193,12 @@ class Hdf5PoseDataset(Hdf5DatasetBase):
         elif "individual" in f:
             self._frame_to_individual = f["individual"][...].astype(np.int32)
         return names_datasets
+
+    @property
+    def max_image_hw(self):
+        """(H, W) bound stored by the converters (`max_image_hw` root attr),
+        or None for files written before the attr existed."""
+        return self._max_image_hw
 
     @property
     def sequence_starts(self):

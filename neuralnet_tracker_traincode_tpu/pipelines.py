@@ -207,9 +207,21 @@ def make_myselfyaw_dataset(transform=None):
 
 
 def probe_pad_size(datasets: Sequence, num_probe: int = 16, multiple: int = 64) -> int:
-    """Probe sample image sizes to pick the static pad size for fused batches."""
+    """Pick the static pad size for fused batches.
+
+    Uses the exact `max_image_hw` bound stored by the converters when present;
+    falls back to probing sample sizes. A probe miss is no longer fatal:
+    `pack_fused_batch` grows the batch padding for oversized images.
+    """
     maxdim = 0
     for ds in datasets:
+        inner = ds
+        while hasattr(inner, "dataset"):
+            inner = inner.dataset
+        hw = getattr(inner, "max_image_hw", None)
+        if hw is not None:
+            maxdim = max(maxdim, *hw)
+            continue
         n = len(ds)
         for i in np.linspace(0, n - 1, min(num_probe, n)).astype(int):
             s = ds[int(i)]
@@ -259,6 +271,7 @@ def make_pose_estimation_loaders(
     roi_override: str = "original",
     pad_size: Optional[int] = None,
     seed: Optional[int] = None,
+    num_workers: Optional[int] = None,
 ):
     """Build the fused train loader + per-sample validation dataset.
 
@@ -355,6 +368,7 @@ def make_pose_estimation_loaders(
         dataset_weight_by_index=(
             None if loss_weights is None else (lambda i: loss_weights[i])
         ),
+        num_workers=utils.num_workers() if num_workers is None else num_workers,
     )
 
     _, test_set = make_aflw2k3d_datasets(transform=transform)

@@ -82,12 +82,42 @@ def test_fused_batch_loader(tmp_path):
     assert seen_tags == {0, 1}
 
 
-def test_pack_fused_batch_oversized_image_asserts(tmp_path):
+def test_pack_fused_batch_oversized_image_grows_padding(tmp_path):
+    """An image exceeding pad_size grows this batch's padding to the next
+    64-multiple instead of failing (costs one extra compile per new bucket)."""
     p = str(tmp_path / "c.h5")
     write_pose_h5(p, 2, img_size=100)
     ds = Hdf5PoseDataset(p, dataclass=Tag.ONLY_POSE)
-    with pytest.raises(AssertionError):
-        pack_fused_batch([ds[0]], [0], pad_size=64)
+    batch = pack_fused_batch([ds[0]], [0], pad_size=64)
+    assert batch["image"].shape == (1, 128, 128, 1)
+    np.testing.assert_array_equal(
+        batch["image"][0, :100, :100, 0], np.asarray(ds[0]["image"])[..., 0]
+    )
+    assert not batch["image"][0, 100:, :, 0].any()
+
+
+def test_fused_batch_loader_multiworker(tmp_path):
+    p1 = str(tmp_path / "mw.h5")
+    write_pose_h5(p1, 12, seed=4)
+    ds1 = Hdf5PoseDataset(p1, dataclass=Tag.ONLY_POSE)
+    concat = ConcatDataset([ds1])
+    sampler = make_concat_dataset_item_sampler(concat, [1.0], stop_after=64, seed=3)
+    loader = FusedBatchLoader(
+        concat,
+        tags_by_dataset_index=lambda i: Tag.ONLY_POSE,
+        tag_to_id={Tag.ONLY_POSE: 0},
+        sampler=sampler,
+        batchsize=8,
+        pad_size=64,
+        num_workers=3,
+    )
+    batches = list(iter(loader))
+    # 64 samples / 8 per batch; partial batches at stream end (up to one per
+    # worker) are dropped, like the reference DataLoader's drop_last.
+    assert 5 <= len(batches) <= 8
+    for b in batches:
+        assert b["image"].shape == (8, 64, 64, 1)
+        assert b["pose"].shape == (8, 4)
 
 
 def test_make_pose_estimation_loaders_registry(tmp_path, monkeypatch):
