@@ -7,9 +7,19 @@ self-contained writer in onnx_proto.py (neither onnx nor onnxruntime ship in
 the training image); BatchNorm is folded into conv weights at export, so the
 graph is already "simplified" (the reference runs onnxsim for this).
 
-Supported: NetworkWithPointHead with the mobilenetv1 backbone (the deployed
-configuration), with and without uncertainty heads; LocalizerNet. Inputs are
-NCHW float32 like the reference's exports.
+Supported posenet configs: mobilenetv1 / resnet18 (each with and without
+blurpool) and efficientnet_b0..b4; direct-quaternion and 6d-rotation heads;
+with and without uncertainty. Output modes:
+ - outputs='opentrack' (default): pos_size, quat, box (+ *_scales) — the
+   renamed subset consumed by the opentrack plugin (reference
+   `ModelForOpenTrack`, export_model.py:116-146).
+ - outputs='full': every eval-forward output under its raw name (coord, pose,
+   roi, unnormalized_quat/unnormalized_6drepr, pt3d_68, shapeparam, hasface,
+   + scale outputs) — the reference's `ExportModel` all-outputs mode
+   (export_model.py:148-169), used for landmark/NME evaluation from ONNX and
+   for ONNX-based pseudo-labeling (add_pose_pseudolabels.py).
+
+Inputs are NCHW float32 like the reference's exports.
 """
 
 import math
@@ -57,6 +67,10 @@ class GraphBuilder:
         # the backbone here (heads are Gemm).
         self.quant_ranges: Optional[Sequence] = None
         self._conv_quant_idx = 0
+
+    @property
+    def float_ty(self):
+        return P.FLOAT16 if self.fp16 else P.FLOAT
 
     def fresh(self, hint="t"):
         self._counter += 1
@@ -128,6 +142,12 @@ class GraphBuilder:
     def relu(self, x):
         return self.node("Relu", [x])
 
+    def sigmoid(self, x):
+        return self.node("Sigmoid", [x])
+
+    def silu(self, x):
+        return self.mul(x, self.sigmoid(x))
+
     def smoothclip0(self, x):
         e = self.node("Elu", [x], alpha=1.0)
         one = self.init_tensor(np.asarray([1.0], np.float32), "one")
@@ -151,6 +171,22 @@ class GraphBuilder:
         a = self.init_tensor(np.asarray(axes, np.int64), "axes")
         return self.node("Slice", [x, s, e, a])
 
+    def reshape(self, x, shape):
+        return self.node(
+            "Reshape", [x, self.init_tensor(np.asarray(shape, np.int64), "shape")]
+        )
+
+    def unsqueeze(self, x, axes):
+        return self.node(
+            "Unsqueeze", [x, self.init_tensor(np.asarray(axes, np.int64), "uax")]
+        )
+
+    def transpose(self, x, perm):
+        return self.node("Transpose", [x], perm=list(perm))
+
+    def matmul(self, a, b):
+        return self.node("MatMul", [a, b])
+
     def const_like_rowvec(self, ref2d, values):
         """Broadcast a constant (C,) row vector to ref2d's batch: ref*0 + const.
 
@@ -163,9 +199,9 @@ class GraphBuilder:
         return self.add(z1, c)
 
 
-def _fold_bn(kernel_hwio, bn_scale, bn_bias, bn_mean, bn_var, depthwise=False):
+def _fold_bn(kernel_hwio, bn_scale, bn_bias, bn_mean, bn_var, eps=BN_EPS):
     """Fold BatchNorm into the preceding conv. Returns (OIHW weight, bias)."""
-    std = np.sqrt(bn_var + BN_EPS)
+    std = np.sqrt(bn_var + eps)
     factor = bn_scale / std  # (Cout,)
     w = np.transpose(kernel_hwio, (3, 2, 0, 1))  # HWIO -> OIHW
     w = w * factor[:, None, None, None]
@@ -173,46 +209,61 @@ def _fold_bn(kernel_hwio, bn_scale, bn_bias, bn_mean, bn_var, depthwise=False):
     return w.astype(np.float32), b.astype(np.float32)
 
 
-def _emit_mobilenet(g: GraphBuilder, x, params, stats, widen=1.0):
-    """MobileNetV1 backbone (no blurpool) -> pooled feature vector node name."""
+def _fold_scope(params, stats, conv_name, bn_name, eps=BN_EPS):
+    return _fold_bn(
+        np.asarray(params[conv_name]["kernel"]),
+        np.asarray(params[bn_name]["scale"]), np.asarray(params[bn_name]["bias"]),
+        np.asarray(stats[bn_name]["mean"]), np.asarray(stats[bn_name]["var"]),
+        eps=eps,
+    )
 
-    def fold(conv_name, bn_name):
-        k = np.asarray(params[conv_name]["kernel"])
-        bn_p = params[bn_name]
-        bn_s = stats[bn_name]
-        return _fold_bn(
-            k, np.asarray(bn_p["scale"]), np.asarray(bn_p["bias"]),
-            np.asarray(bn_s["mean"]), np.asarray(bn_s["var"]),
-        )
 
-    w, b = fold("conv1", "bn1")
+def _emit_blurpool(g: GraphBuilder, x, channels: int, kernel_size: int = 3, stride: int = 2):
+    """Anti-aliased downsample: depthwise conv with the fixed Pascal kernel.
+
+    Matches `models/backbones/common.py:BlurPool2D` (zero padding (k-1)//2,
+    kornia `_blur_pool_by_kernel2d` semantics).
+    """
+    from neuralnet_tracker_traincode_tpu.models.components import pascal_kernel_2d
+
+    k = pascal_kernel_2d(kernel_size)  # (k, k), normalized
+    w = np.broadcast_to(
+        k[None, None, :, :], (channels, 1, kernel_size, kernel_size)
+    ).astype(np.float32)
+    pad = (kernel_size - 1) // 2
+    return g.conv(x, w, None, stride=stride, group=channels, pads=[pad] * 4)
+
+
+def _emit_mobilenet(g: GraphBuilder, x, params, stats, use_blurpool=False):
+    """MobileNetV1 backbone -> pooled feature vector node name."""
+
+    w, b = _fold_scope(params, stats, "conv1", "bn1")
     x = g.conv(x, w, b, stride=2)
     x = g.relu(x)
 
-    blocks = [
-        ("dw2_1", 64, 1), ("dw2_2", 128, 2), ("dw3_1", 128, 1), ("dw3_2", 256, 2),
-        ("dw4_1", 256, 1), ("dw4_2", 512, 2), ("dw5_1", 512, 1), ("dw5_2", 512, 1),
-        ("dw5_3", 512, 1), ("dw5_4", 512, 1), ("dw5_5", 512, 1), ("dw5_6", 1024, 2),
-        ("dw6", 1024, 1),
+    block_strides = [
+        ("dw2_1", 1), ("dw2_2", 2), ("dw3_1", 1), ("dw3_2", 2),
+        ("dw4_1", 1), ("dw4_2", 2), ("dw5_1", 1), ("dw5_2", 1),
+        ("dw5_3", 1), ("dw5_4", 1), ("dw5_5", 1), ("dw5_6", 2),
+        ("dw6", 1),
     ]
-    channels = int(32 * widen)
-    for name, planes, stride in blocks:
-        planes = int(planes * widen)
+    channels = w.shape[0]
+    for name, stride in block_strides:
         bp = params[name]
         bs = stats[name]
-        wd, bd = _fold_bn(
-            np.asarray(bp["conv_dw"]["kernel"]),
-            np.asarray(bp["bn_dw"]["scale"]), np.asarray(bp["bn_dw"]["bias"]),
-            np.asarray(bs["bn_dw"]["mean"]), np.asarray(bs["bn_dw"]["var"]),
-        )
+        wd, bd = _fold_scope(bp, bs, "conv_dw", "bn_dw")
         residual = x
-        h = g.conv(x, wd, bd, stride=stride, group=channels)
+        if stride == 2 and use_blurpool:
+            # DepthWiseBlock: blurpool then a stride-1 depthwise conv
+            # (`mobilenet_v1.py:30-34`).
+            x = _emit_blurpool(g, x, channels=channels)
+            conv_stride = 1
+        else:
+            conv_stride = stride
+        h = g.conv(x, wd, bd, stride=conv_stride, group=channels)
         h = g.relu(h)
-        ws, bs_ = _fold_bn(
-            np.asarray(bp["conv_sep"]["kernel"]),
-            np.asarray(bp["bn_sep"]["scale"]), np.asarray(bp["bn_sep"]["bias"]),
-            np.asarray(bs["bn_sep"]["mean"]), np.asarray(bs["bn_sep"]["var"]),
-        )
+        ws, bs_ = _fold_scope(bp, bs, "conv_sep", "bn_sep")
+        planes = ws.shape[0]
         h = g.conv(h, ws, bs_, stride=1, group=1, pads=[0, 0, 0, 0])
         if stride == 1 and channels == planes:
             h = g.add(h, residual)
@@ -223,24 +274,22 @@ def _emit_mobilenet(g: GraphBuilder, x, params, stats, widen=1.0):
     return g.node("Flatten", [pooled], axis=1)
 
 
-def _emit_resnet18(g: GraphBuilder, x, params, stats):
-    """ResNet-18 backbone (no blurpool) -> pooled 512-d feature node name.
+def _emit_resnet18(g: GraphBuilder, x, params, stats, use_blurpool=False):
+    """ResNet-18 backbone -> pooled 512-d feature node name.
 
     Mirrors `models/backbones/resnet.py` (torchvision resnet18 topology,
-    1-channel 7x7 stem); BN folded into the convs.
+    1-channel 7x7 stem); BN folded into the convs. With blurpool, EVERY block
+    blurs before conv1 (stride-1 blocks get a pure blur) and the stem maxpool
+    becomes a blurpool — reference CustomBlock semantics.
     """
 
-    def fold(scope_p, scope_s, conv_name, bn_name):
-        return _fold_bn(
-            np.asarray(scope_p[conv_name]["kernel"]),
-            np.asarray(scope_p[bn_name]["scale"]), np.asarray(scope_p[bn_name]["bias"]),
-            np.asarray(scope_s[bn_name]["mean"]), np.asarray(scope_s[bn_name]["var"]),
-        )
-
-    w, b = fold(params, stats, "conv1", "bn1")
+    w, b = _fold_scope(params, stats, "conv1", "bn1")
     x = g.conv(x, w, b, stride=2, pads=[3, 3, 3, 3])
     x = g.relu(x)
-    x = g.node("MaxPool", [x], kernel_shape=[3, 3], strides=[2, 2], pads=[1, 1, 1, 1])
+    if use_blurpool:
+        x = _emit_blurpool(g, x, channels=w.shape[0])
+    else:
+        x = g.node("MaxPool", [x], kernel_shape=[3, 3], strides=[2, 2], pads=[1, 1, 1, 1])
 
     for stage, num_blocks in enumerate([2, 2, 2, 2]):
         for blk in range(num_blocks):
@@ -248,17 +297,91 @@ def _emit_resnet18(g: GraphBuilder, x, params, stats):
             bp = params[f"layer{stage + 1}_{blk}"]
             bs = stats[f"layer{stage + 1}_{blk}"]
             identity = x
-            w1, b1 = fold(bp, bs, "conv1", "bn1")
-            h = g.relu(g.conv(x, w1, b1, stride=stride))
-            w2, b2 = fold(bp, bs, "conv2", "bn2")
+            w1, b1 = _fold_scope(bp, bs, "conv1", "bn1")
+            y = x
+            if use_blurpool:
+                y = _emit_blurpool(g, y, channels=w1.shape[1], stride=stride)
+                first_stride = 1
+            else:
+                first_stride = stride
+            h = g.relu(g.conv(y, w1, b1, stride=first_stride))
+            w2, b2 = _fold_scope(bp, bs, "conv2", "bn2")
             h = g.conv(h, w2, b2, stride=1)
             if "downsample_conv" in bp:
-                wd, bd = fold(bp, bs, "downsample_conv", "downsample_bn")
+                wd, bd = _fold_scope(bp, bs, "downsample_conv", "downsample_bn")
                 identity = g.conv(x, wd, bd, stride=stride, pads=[0, 0, 0, 0])
             x = g.relu(g.add(h, identity))
 
     pooled = g.node("GlobalAveragePool", [x])
     return g.node("Flatten", [pooled], axis=1)
+
+
+def _emit_efficientnet(g: GraphBuilder, x, params, stats, kind: str):
+    """EfficientNet b0..b4 backbone -> pooled feature vector node name.
+
+    Mirrors `models/backbones/efficientnet.py` (BN eps 1e-3, SiLU, SE blocks,
+    1->3 channel input adapter; stochastic depth is identity at eval).
+    """
+    from neuralnet_tracker_traincode_tpu.models.backbones.efficientnet import (
+        scaled_settings,
+    )
+
+    EPS = 1e-3
+    # 1x1 input adapter (has a bias, no BN).
+    w = np.transpose(np.asarray(params["to_3chn_input"]["kernel"]), (3, 2, 0, 1))
+    x = g.conv(x, w, np.asarray(params["to_3chn_input"]["bias"]), pads=[0, 0, 0, 0])
+
+    w, b = _fold_scope(params, stats, "stem_conv", "stem_bn", eps=EPS)
+    x = g.silu(g.conv(x, w, b, stride=2, pads=[1, 1, 1, 1]))
+
+    settings, _ = scaled_settings(kind)
+    for stage_idx, cfg in enumerate(settings):
+        for layer_idx in range(cfg.num_layers):
+            stride = cfg.stride if layer_idx == 0 else 1
+            bp = params[f"stage{stage_idx + 1}_{layer_idx}"]
+            bs = stats[f"stage{stage_idx + 1}_{layer_idx}"]
+            h = x
+            if cfg.expand_ratio != 1:
+                we, be = _fold_scope(bp, bs, "expand_conv", "expand_bn", eps=EPS)
+                h = g.silu(g.conv(h, we, be, pads=[0, 0, 0, 0]))
+            wd, bd = _fold_scope(bp, bs, "dw_conv", "dw_bn", eps=EPS)
+            expanded = wd.shape[0]
+            pad = cfg.kernel // 2
+            h = g.silu(g.conv(h, wd, bd, stride=stride, group=expanded, pads=[pad] * 4))
+            # Squeeze-excitation: pooled -> fc1 -> silu -> fc2 -> sigmoid -> scale.
+            se = bp["se"]
+            s = g.node("GlobalAveragePool", [h])
+            w1 = np.transpose(np.asarray(se["fc1"]["kernel"]), (3, 2, 0, 1))
+            s = g.silu(g.conv(s, w1, np.asarray(se["fc1"]["bias"]), pads=[0, 0, 0, 0]))
+            w2 = np.transpose(np.asarray(se["fc2"]["kernel"]), (3, 2, 0, 1))
+            s = g.sigmoid(g.conv(s, w2, np.asarray(se["fc2"]["bias"]), pads=[0, 0, 0, 0]))
+            h = g.mul(h, s)
+            wp, bpj = _fold_scope(bp, bs, "project_conv", "project_bn", eps=EPS)
+            h = g.conv(h, wp, bpj, pads=[0, 0, 0, 0])
+            # Residual when shapes match: repeated layers in a stage always do
+            # (their input is already out_ch); a stage's first layer only if
+            # stride 1 and in_ch == out_ch.
+            if stride == 1 and (layer_idx > 0 or cfg.in_ch == cfg.out_ch):
+                h = g.add(h, x)
+            x = h
+
+    w, b = _fold_scope(params, stats, "head_conv", "head_bn", eps=EPS)
+    x = g.silu(g.conv(x, w, b, pads=[0, 0, 0, 0]))
+    pooled = g.node("GlobalAveragePool", [x])
+    return g.node("Flatten", [pooled], axis=1)
+
+
+def _emit_backbone(g: GraphBuilder, x, model, params, stats):
+    bargs = dict(model.backbone_args or {})
+    use_blurpool = bool(bargs.get("use_blurpool"))
+    if model.config == "mobilenetv1":
+        return _emit_mobilenet(g, x, params["convnet"], stats["convnet"], use_blurpool)
+    if model.config == "resnet18":
+        return _emit_resnet18(g, x, params["convnet"], stats["convnet"], use_blurpool)
+    if model.config.startswith("efficientnet_"):
+        kind = model.config[len("efficientnet_"):]
+        return _emit_efficientnet(g, x, params["convnet"], stats["convnet"], kind)
+    raise ValueError(f"ONNX export does not support backbone {model.config!r}")
 
 
 def _quat_mult_const_right(g: GraphBuilder, q, v_const):
@@ -292,12 +415,145 @@ def _rotate_const_vector(g: GraphBuilder, q, t_const):
             cross = 0.5 * (rot(eye[j] + eye[k]) - rot(eye[j]) - rot(eye[k]))
             C[j * 4 + k] += cross
             C[k * 4 + j] += cross
-    q_col = g.node("Unsqueeze", [q, g.init_tensor(np.asarray([2], np.int64), "ax2")])
-    q_row = g.node("Unsqueeze", [q, g.init_tensor(np.asarray([1], np.int64), "ax1")])
+    q_col = g.unsqueeze(q, [2])
+    q_row = g.unsqueeze(q, [1])
     outer = g.mul(q_col, q_row)  # (N, 4, 4)
-    flat = g.node("Reshape", [outer, g.init_tensor(np.asarray([-1, 16], np.int64), "shape16")])
+    flat = g.reshape(outer, [-1, 16])
     c = g.init_tensor(C, "rot_quadratic_C")
     return g.node("MatMul", [flat, c])  # (N, 3)
+
+
+def _emit_quat_tomatrix(g: GraphBuilder, q):
+    """Normalized quaternion (N, 4) -> rotation matrix (N, 3, 3), row-major.
+
+    Mirrors `ops/quaternion.py:tomatrix`.
+    """
+    qi = g.slice_(q, [0], [1], [1])
+    qj = g.slice_(q, [1], [2], [1])
+    qk = g.slice_(q, [2], [3], [1])
+    qw = g.slice_(q, [3], [4], [1])
+    one = g.init_tensor(np.asarray([1.0], np.float32), "one")
+    two = g.init_tensor(np.asarray([2.0], np.float32), "two")
+
+    def d2(a, b):  # 2*a*b
+        return g.mul(two, g.mul(a, b))
+
+    m00 = g.sub(one, d2(qj, qj))
+    m00 = g.sub(m00, d2(qk, qk))
+    m11 = g.sub(one, d2(qi, qi))
+    m11 = g.sub(m11, d2(qk, qk))
+    m22 = g.sub(one, d2(qi, qi))
+    m22 = g.sub(m22, d2(qj, qj))
+    m01 = g.sub(d2(qi, qj), d2(qk, qw))
+    m10 = g.add(d2(qi, qj), d2(qk, qw))
+    m02 = g.add(d2(qi, qk), d2(qj, qw))
+    m20 = g.sub(d2(qi, qk), d2(qj, qw))
+    m12 = g.sub(d2(qj, qk), d2(qi, qw))
+    m21 = g.add(d2(qj, qk), d2(qi, qw))
+    flat = g.concat([m00, m01, m02, m10, m11, m12, m20, m21, m22], axis=1)  # (N, 9)
+    return g.reshape(flat, [-1, 3, 3])
+
+
+def _emit_from_matrix(g: GraphBuilder, m):
+    """Rotation matrix (N, 3, 3) -> quaternion (N, 4), positive real part.
+
+    Mirrors `ops/quaternion.py:from_matrix` (best-conditioned-of-4 candidates
+    picked by argmax over the sqrt arguments), in standard opset-13 ops.
+    """
+    f = g.reshape(m, [-1, 9])  # row-major: m[i, j] = column 3*i + j
+    e = {(i, j): g.slice_(f, [3 * i + j], [3 * i + j + 1], [1]) for i in range(3) for j in range(3)}
+    one = g.init_tensor(np.asarray([1.0], np.float32), "one")
+    quart = g.init_tensor(np.asarray([0.25], np.float32), "quart")
+    half = g.init_tensor(np.asarray([0.5], np.float32), "half")
+
+    m00, m11, m22 = e[(0, 0)], e[(1, 1)], e[(2, 2)]
+    sq_k = g.add(g.sub(g.sub(e[(2, 2)], m00), m11), one)    # -m00 - m11 + m22 + 1
+    sq_j = g.add(g.sub(g.sub(m11, m00), m22), one)          # -m00 + m11 - m22 + 1
+    sq_i = g.add(g.sub(g.sub(m00, m11), m22), one)          # +m00 - m11 - m22 + 1
+    sq_w = g.add(g.add(g.add(m00, m11), m22), one)          # +m00 + m11 + m22 + 1
+    sqrt_args = g.concat([sq_k, sq_j, sq_i, sq_w], axis=1)  # (N, 4)
+    sqrt_args = g.node(
+        "Clip", [sqrt_args, g.init_tensor(np.asarray(1e-6, np.float32), "minclip"), ""]
+    )
+    roots = g.mul(half, g.node("Sqrt", [sqrt_args]))  # 0.5 sqrt: [qk|k, qj|j, qi|i, qw|w]
+    qk_k = g.slice_(roots, [0], [1], [1])
+    qj_j = g.slice_(roots, [1], [2], [1])
+    qi_i = g.slice_(roots, [2], [3], [1])
+    qw_w = g.slice_(roots, [3], [4], [1])
+
+    def od(a, b, sign, denom):  # 0.25 (a + sign b) / denom
+        s = g.add(a, b) if sign > 0 else g.sub(a, b)
+        return g.node("Div", [g.mul(quart, s), denom])
+
+    qw_k = od(e[(1, 0)], e[(0, 1)], -1, qk_k)
+    qi_k = od(e[(2, 0)], e[(0, 2)], +1, qk_k)
+    qj_k = od(e[(1, 2)], e[(2, 1)], +1, qk_k)
+    qw_j = od(e[(0, 2)], e[(2, 0)], -1, qj_j)
+    qi_j = od(e[(1, 0)], e[(0, 1)], +1, qj_j)
+    qk_j = od(e[(1, 2)], e[(2, 1)], +1, qj_j)
+    qw_i = od(e[(2, 1)], e[(1, 2)], -1, qi_i)
+    qj_i = od(e[(1, 0)], e[(0, 1)], +1, qi_i)
+    qk_i = od(e[(0, 2)], e[(2, 0)], +1, qi_i)
+    qi_w = od(e[(2, 1)], e[(1, 2)], -1, qw_w)
+    qj_w = od(e[(0, 2)], e[(2, 0)], -1, qw_w)
+    qk_w = od(e[(1, 0)], e[(0, 1)], -1, qw_w)
+
+    cands = [
+        g.concat([qi_k, qj_k, qk_k, qw_k], axis=1),
+        g.concat([qi_j, qj_j, qk_j, qw_j], axis=1),
+        g.concat([qi_i, qj_i, qk_i, qw_i], axis=1),
+        g.concat([qi_w, qj_w, qk_w, qw_w], axis=1),
+    ]
+    cands3 = g.concat([g.unsqueeze(c, [1]) for c in cands], axis=1)  # (N, 4, 4)
+
+    pick = g.node("ArgMax", [sqrt_args], axis=1, keepdims=1)  # (N, 1) int64
+    pickf = g.node("Cast", [pick], to=g.float_ty)
+    iota = g.init_tensor(np.arange(4, dtype=np.float32)[None, :], "iota4")
+    onehot = g.node("Cast", [g.node("Equal", [pickf, iota])], to=g.float_ty)  # (N, 4)
+    quat = g.reshape(g.matmul(g.unsqueeze(onehot, [1]), cands3), [-1, 4])
+    # positivereal: q * sign(q_w)
+    sign = g.node("Sign", [g.slice_(quat, [3], [4], [1])])
+    return g.mul(quat, sign)
+
+
+def _emit_6d_tomatrix(g: GraphBuilder, z6):
+    """6D rotation features (N, 6) -> (N, 3, 3), `ops/rot6d.py:tomatrix`:
+    cross products, row normalization (eps 1e-6), identity fallback when
+    far from orthonormal (inf-norm of M M^T - I > 1e-3)."""
+
+    def cross(a, b):  # (N, 3) x (N, 3)
+        a0, a1, a2 = (g.slice_(a, [i], [i + 1], [1]) for i in range(3))
+        b0, b1, b2 = (g.slice_(b, [i], [i + 1], [1]) for i in range(3))
+        return g.concat(
+            [
+                g.sub(g.mul(a1, b2), g.mul(a2, b1)),
+                g.sub(g.mul(a2, b0), g.mul(a0, b2)),
+                g.sub(g.mul(a0, b1), g.mul(a1, b0)),
+            ],
+            axis=1,
+        )
+
+    x = g.slice_(z6, [0], [3], [1])
+    y = g.slice_(z6, [3], [6], [1])
+    zv = cross(x, y)
+    yv = cross(zv, x)
+    eps = g.init_tensor(np.asarray(1e-6, np.float32), "eps6d")
+
+    def normalize(v):
+        n = g.node("ReduceL2", [v], axes=[1], keepdims=1)
+        n = g.node("Clip", [n, eps, ""])
+        return g.node("Div", [v, n])
+
+    rows = [g.unsqueeze(normalize(v), [1]) for v in (x, yv, zv)]
+    m = g.concat(rows, axis=1)  # (N, 3, 3)
+
+    eye = g.init_tensor(np.eye(3, dtype=np.float32)[None], "eye33")
+    mmt = g.matmul(m, g.transpose(m, [0, 2, 1]))
+    diff = g.node("Abs", [g.sub(mmt, eye)])
+    badness = g.node("ReduceMax", [diff], axes=[1, 2], keepdims=1)  # (N, 1, 1)
+    thresh = g.init_tensor(np.asarray(1e-3, np.float32), "badthresh")
+    cond = g.node("Greater", [badness, thresh])
+    return g.node("Where", [cond, eye, m])
 
 
 def _emit_triangular_scale(g: GraphBuilder, features, neck_params):
@@ -322,9 +578,87 @@ def _emit_triangular_scale(g: GraphBuilder, features, neck_params):
     z5 = g.slice_(vals, [5], [6], [1])
     zero = g.mul(z0, g.init_tensor(np.asarray([0.0], np.float32), "zero"))
     flat = g.concat([z0, zero, zero, z3, z1, zero, z4, z5, z2], axis=1)  # (N, 9)
-    return g.node(
-        "Reshape", [flat, g.init_tensor(np.asarray([-1, 3, 3], np.int64), "shape33")]
+    return g.reshape(flat, [-1, 3, 3])
+
+
+def _np_diag_scale_param(params_scope) -> np.ndarray:
+    """DiagonalScaleParameter as a constant: clip(h0) * clip(h1:) + 1e-6."""
+    hidden = np.asarray(params_scope["hidden_scale"])
+    return (_np_smoothclip0(hidden[:1]) * _np_smoothclip0(hidden[1:]) + 1e-6).astype(np.float32)
+
+
+def _offset_constants(params, scope_name):
+    """LocalToGlobalCoordinateOffset constants for convention slot 0.
+
+    The exported graph has no `coord_convention_id` input — like the
+    reference's deploy path it bakes in slot 0 (the reference exports the
+    model called without set_id, which selects p[0:1];
+    `modelcomponents.py:155-158`)."""
+    p = np.asarray(params[scope_name]["p"])[0]
+    angle = float(p[1])
+    offset_quat = np.asarray(
+        [math.sin(0.5 * angle), 0.0, 0.0, math.cos(0.5 * angle)], np.float32
     )
+    offset_transl = np.asarray([0.0, p[1], p[2]], np.float32)
+    offset_scale = float(_np_smoothclip0(np.asarray(p[3])))
+    rot_x = np.asarray(
+        [
+            [1.0, 0.0, 0.0],
+            [0.0, math.cos(angle), -math.sin(angle)],
+            [0.0, math.sin(angle), math.cos(angle)],
+        ],
+        np.float32,
+    )
+    return offset_quat, offset_transl, offset_scale, rot_x
+
+
+def _apply_offset_quat(g, quat, xy, size, oq, ot, osc):
+    """Quaternion-repr LocalToGlobalCoordinateOffset; returns (quat', screen, scale)."""
+    pred_quat = _quat_mult_const_right(g, quat, oq)
+    scale = g.mul(size, g.init_tensor(np.asarray([osc], np.float32), "oscale"))
+    rotated = _rotate_const_vector(g, quat, ot)  # (N, 3)
+    pos_corr = g.mul(g.slice_(rotated, [0], [2], [1]), scale)
+    screen = g.add(pos_corr, xy)
+    return pred_quat, screen, scale
+
+
+def _apply_offset_mat(g, m, xy, size, ot, osc, rot_x):
+    """Matrix-repr LocalToGlobalCoordinateOffset; returns (m', screen, scale)."""
+    pred_m = g.matmul(m, g.init_tensor(rot_x[None], "offset_rot_x"))
+    scale = g.mul(size, g.init_tensor(np.asarray([osc], np.float32), "oscale"))
+    rotated = g.reshape(
+        g.matmul(m, g.init_tensor(ot.reshape(3, 1)[None], "offset_t")), [-1, 3]
+    )
+    pos_corr = g.mul(g.slice_(rotated, [0], [2], [1]), scale)
+    screen = g.add(pos_corr, xy)
+    return pred_m, screen, scale
+
+
+def _emit_landmarks(g: GraphBuilder, features, R, screen, scale, lm_params):
+    """Landmarks3dOutput: shapenet -> BFM blend -> rigid 2.5D transform.
+
+    R: (N, 3, 3) rotation node; screen: (N, 2); scale: (N, 1).
+    Returns (pt3d_68 (N, 68, 3), shapeparam (N, 50)).
+    """
+    from neuralnet_tracker_traincode_tpu.models.components import DeformableHeadKeypoints
+
+    head = DeformableHeadKeypoints(40, 10)
+    shapeparam = g.gemm(
+        features, np.asarray(lm_params["shapenet"]["kernel"]),
+        np.asarray(lm_params["shapenet"]["bias"]),
+    )  # (N, 50)
+    W = np.asarray(head.keyeigvecs).reshape(head.num_eigvecs, -1)  # (50, 204)
+    mean = np.asarray(head.keypts).reshape(1, -1)  # (1, 204)
+    pts = g.add(g.matmul(shapeparam, g.init_tensor(W, "bfm_eigvecs")),
+                g.init_tensor(mean, "bfm_mean"))
+    pts = g.reshape(pts, [-1, 68, 3])
+    # rotate_points: p' = p @ R^T; then scale all axes, translate xy only.
+    rot = g.matmul(pts, g.transpose(R, [0, 2, 1]))
+    tmp = g.mul(rot, g.unsqueeze(scale, [2]))  # (N, 68, 3) * (N, 1, 1)
+    xy = g.add(g.slice_(tmp, [0], [2], [2]), g.unsqueeze(screen, [1]))
+    z = g.slice_(tmp, [2], [3], [2])
+    pt3d = g.concat([xy, z], axis=2)
+    return pt3d, shapeparam
 
 
 def build_posenet_onnx(
@@ -334,16 +668,15 @@ def build_posenet_onnx(
     """Build the ONNX ModelProto bytes for a NetworkWithPointHead checkpoint.
 
     outputs='opentrack': pos_size, quat, box (+ *_scales with uncertainty).
+    outputs='full': all eval-forward outputs under their raw names (see module
+    docstring) — feeds ONNX-based landmark eval and pseudo-labeling.
     fp16=True stores all weights as FLOAT16 and runs the graph in half
     precision between boundary casts (fp32 input/outputs).
     quant_ranges: per-conv-index activation (min, max) from
     `calibrate_conv_ranges` -> QDQ int8 backbone (heads stay fp32).
     """
+    assert outputs in ("opentrack", "full"), outputs
     assert not (fp16 and quant_ranges is not None), "pick one of fp16/quantize"
-    assert model.config in ("mobilenetv1", "resnet18"), (
-        f"ONNX export supports mobilenetv1/resnet18, got {model.config}"
-    )
-    assert not (model.backbone_args or {}).get("use_blurpool"), "blurpool export TODO"
     params = variables["params"]
     stats = variables["batch_stats"]
     res = model.input_resolution
@@ -355,10 +688,7 @@ def build_posenet_onnx(
     x = "x"
     if fp16:
         x = g.node("Cast", [x], to=P.FLOAT16)
-    if model.config == "mobilenetv1":
-        features = _emit_mobilenet(g, x, params["convnet"], stats["convnet"])
-    else:
-        features = _emit_resnet18(g, x, params["convnet"], stats["convnet"])
+    features = _emit_backbone(g, x, model, params, stats)
 
     # Heads.
     box_z = g.gemm(
@@ -379,43 +709,96 @@ def build_posenet_onnx(
             np.asarray(params["posnet"]["linear_size"]["bias"]),
         )
     )
-    coord = g.concat([xy, size], axis=1)
 
+    # Rotation head: hidden (pre-offset) representation.
     quat_z = g.gemm(
         features, np.asarray(params["quatnet"]["linear"]["kernel"]),
         np.asarray(params["quatnet"]["linear"]["bias"]),
     )
-    quat_ijk = g.slice_(quat_z, [0], [3], [1])
-    quat_w = g.smoothclip0(g.slice_(quat_z, [3], [4], [1]))
-    unnorm = g.concat([quat_ijk, quat_w], axis=1)
-    norm = g.node("ReduceL2", [unnorm], axes=[1], keepdims=1)
-    norm = g.node(
-        "Clip",
-        [norm, g.init_tensor(np.asarray(1e-6, np.float32), "minclip"), ""],
-    )
-    quat = g.node("Div", [unnorm, norm])
-
-    if model.use_local_pose_offset:
-        p = np.asarray(params["local_pose_offset"]["p"])[0]
-        angle = p[1]
-        offset_quat = np.asarray(
-            [math.sin(0.5 * angle), 0.0, 0.0, math.cos(0.5 * angle)], np.float32
+    if model.enable_6drot:
+        unnorm_name, unnorm_node, unnorm_dims = "unnormalized_6drepr", quat_z, 6
+        hidden_mat = _emit_6d_tomatrix(g, quat_z)
+        hidden_quat = None
+    else:
+        quat_ijk = g.slice_(quat_z, [0], [3], [1])
+        quat_w = g.smoothclip0(g.slice_(quat_z, [3], [4], [1]))
+        unnorm = g.concat([quat_ijk, quat_w], axis=1)
+        norm = g.node("ReduceL2", [unnorm], axes=[1], keepdims=1)
+        norm = g.node(
+            "Clip",
+            [norm, g.init_tensor(np.asarray(1e-6, np.float32), "minclip"), ""],
         )
-        offset_transl = np.asarray([0.0, p[1], p[2]], np.float32)
-        offset_scale = float(_np_smoothclip0(np.asarray(p[3])))
-        pred_quat = _quat_mult_const_right(g, quat, offset_quat)
-        scale = g.mul(size, g.init_tensor(np.asarray([offset_scale], np.float32), "oscale"))
-        rotated = _rotate_const_vector(g, quat, offset_transl)  # (N, 3)
-        pos_corr = g.mul(g.slice_(rotated, [0], [2], [1]), scale)
-        screen = g.add(pos_corr, xy)
-        coord = g.concat([screen, scale], axis=1)
-        quat = pred_quat
+        hidden_quat = g.node("Div", [unnorm, norm])
+        hidden_mat = None
+        unnorm_name, unnorm_node, unnorm_dims = "unnormalized_quat", unnorm, 4
 
-    output_infos = [
-        ("pos_size", coord, 3),
-        ("quat", quat, 4),
-        ("box", box, 4),
-    ]
+    # Local->global pose offsets (convention slot 0 baked in; see
+    # _offset_constants). The main offset feeds pose/coord; the _kpts variant
+    # feeds the landmark head from the SAME hidden rotation (`models.py:352-366`).
+    emit_landmarks = model.enable_point_head and outputs == "full"
+    if model.use_local_pose_offset:
+        oq, ot, osc, rot_x = _offset_constants(params, "local_pose_offset")
+        if model.enable_6drot:
+            global_mat, screen, scale = _apply_offset_mat(g, hidden_mat, xy, size, ot, osc, rot_x)
+            pose = _emit_from_matrix(g, global_mat)
+        else:
+            pose, screen, scale = _apply_offset_quat(g, hidden_quat, xy, size, oq, ot, osc)
+        coord = g.concat([screen, scale], axis=1)
+        if emit_landmarks:
+            oqk, otk, osck, rot_xk = _offset_constants(params, "local_pose_offset_kpts")
+            if model.enable_6drot:
+                mat_k, screen_k, scale_k = _apply_offset_mat(
+                    g, hidden_mat, xy, size, otk, osck, rot_xk
+                )
+            else:
+                quat_k, screen_k, scale_k = _apply_offset_quat(
+                    g, hidden_quat, xy, size, oqk, otk, osck
+                )
+                mat_k = _emit_quat_tomatrix(g, quat_k)
+    else:
+        if model.enable_6drot:
+            pose = _emit_from_matrix(g, hidden_mat)
+        else:
+            pose = hidden_quat
+        coord = g.concat([xy, size], axis=1)
+        if emit_landmarks:
+            mat_k = hidden_mat if model.enable_6drot else _emit_quat_tomatrix(g, hidden_quat)
+            screen_k, scale_k = xy, size
+
+    if emit_landmarks:
+        pt3d_68, shapeparam = _emit_landmarks(
+            g, features, mat_k, screen_k, scale_k, params["landmarks"]
+        )
+
+    if outputs == "opentrack":
+        output_infos = [
+            ("pos_size", coord, 3),
+            ("quat", pose, 4),
+            ("box", box, 4),
+        ]
+    else:
+        output_infos = [
+            ("coord", coord, 3),
+            ("pose", pose, 4),
+            ("roi", box, 4),
+            (unnorm_name, unnorm_node, unnorm_dims),
+        ]
+        if emit_landmarks:
+            output_infos += [
+                ("pt3d_68", pt3d_68, (68, 3)),
+                ("shapeparam", shapeparam, 50),
+            ]
+        if model.enable_face_detector:
+            logits2d = g.gemm(
+                features, np.asarray(params["face_detector"]["kernel"]),
+                np.asarray(params["face_detector"]["bias"]),
+            )
+            logits = g.reshape(logits2d, [-1])
+            output_infos += [
+                ("hasface_logits", logits, None),
+                ("hasface", g.sigmoid(logits), None),
+            ]
+
     if model.enable_uncertainty:
         coord_scales = _emit_triangular_scale(
             g, features, params["posnet"]["uncertainty_scales"]["neck"]
@@ -423,23 +806,39 @@ def build_posenet_onnx(
         pose_scales = _emit_triangular_scale(
             g, features, params["quatnet"]["uncertainty_net"]["neck"]
         )
-        hidden = np.asarray(params["boxnet"]["uncertainty_scales"]["hidden_scale"])
-        roi_scales_const = (
-            _np_smoothclip0(hidden[:1]) * _np_smoothclip0(hidden[1:]) + 1e-6
-        )
+        roi_scales_const = _np_diag_scale_param(params["boxnet"]["uncertainty_scales"])
         roi_scales = g.const_like_rowvec(box, roi_scales_const)
-        output_infos += [
-            ("pos_size_scales", coord_scales, (3, 3)),
-            ("rotaxis_scales_tril", pose_scales, (3, 3)),
-            ("box_scales", roi_scales, 4),
-        ]
+        if outputs == "opentrack":
+            output_infos += [
+                ("pos_size_scales", coord_scales, (3, 3)),
+                ("rotaxis_scales_tril", pose_scales, (3, 3)),
+                ("box_scales", roi_scales, 4),
+            ]
+        else:
+            output_infos += [
+                ("coord_scales", coord_scales, (3, 3)),
+                ("pose_scales_tril", pose_scales, (3, 3)),
+                ("roi_scales", roi_scales, 4),
+            ]
+            if emit_landmarks:
+                # Constant diagonal scales broadcast to the prediction shapes.
+                pt_scales = _np_diag_scale_param(params["landmarks"]["uncertainty_points"])
+                sp_scales = _np_diag_scale_param(params["landmarks"]["uncertainty_shape"])
+                pt_rows = g.const_like_rowvec(shapeparam, np.repeat(pt_scales, 3))  # (N, 204)
+                output_infos += [
+                    ("pt3d_68_scales", g.reshape(pt_rows, [-1, 68, 3]), (68, 3)),
+                    ("shapeparam_scales", g.const_like_rowvec(shapeparam, sp_scales), 50),
+                ]
 
     out_protos = []
     for name, src, dims in output_infos:
         if fp16:
             src = g.node("Cast", [src], to=P.FLOAT)
         g.rename_output(src, name)
-        shape = ["batch"] + (list(dims) if isinstance(dims, tuple) else [dims])
+        if dims is None:
+            shape = ["batch"]
+        else:
+            shape = ["batch"] + (list(dims) if isinstance(dims, tuple) else [dims])
         out_protos.append(P.value_info_proto(name, P.FLOAT, shape))
 
     input_proto = P.value_info_proto("x", P.FLOAT, ["batch", 1, res, res])
@@ -512,10 +911,10 @@ def build_localizer_onnx(model, variables) -> bytes:
     h = g.conv(h, w, np.asarray(params["final_conv"]["bias"]), pads=[0, 0, 0, 0])
 
     logit = g.node("ReduceMean", [g.slice_(h, [0], [1], [1])], axes=[1, 2, 3], keepdims=0)
-    logit = g.node("Unsqueeze", [logit, g.init_tensor(np.asarray([1], np.int64), "uax")])
+    logit = g.unsqueeze(logit, [1])
     attn = g.slice_(h, [1], [2], [1])  # (N, 1, h, w)
     fh, fw = H // 32, W // 32  # initial s2 conv + four stride-2 IR stages
-    flat = g.node("Reshape", [attn, g.init_tensor(np.asarray([-1, fh * fw], np.int64), "fshape")])
+    flat = g.reshape(attn, [-1, fh * fw])
     sm = g.node("Softmax", [flat], axis=1)
     px = np.linspace(-1, 1, fw, dtype=np.float32)
     py = np.linspace(-1, 1, fh, dtype=np.float32)

@@ -202,6 +202,24 @@ def run(
             y = i[0] / i[1]
         elif op == "Sqrt":
             y = np.sqrt(i[0])
+        elif op == "Sigmoid":
+            y = 1.0 / (1.0 + np.exp(-i[0]))
+        elif op == "Abs":
+            y = np.abs(i[0])
+        elif op == "Sign":
+            y = np.sign(i[0])
+        elif op == "Greater":
+            y = i[0] > i[1]
+        elif op == "Equal":
+            y = i[0] == i[1]
+        elif op == "Where":
+            y = np.where(i[0], i[1], i[2])
+        elif op == "ReduceMax":
+            y = i[0].max(axis=tuple(a["axes"]), keepdims=bool(a.get("keepdims", 1)))
+        elif op == "ArgMax":
+            y = np.argmax(i[0], axis=a.get("axis", 0)).astype(np.int64)
+            if a.get("keepdims", 1):
+                y = np.expand_dims(y, a.get("axis", 0))
         elif op == "Gemm":
             w = i[1].T if a.get("transB", 0) else i[1]
             y = i[0] @ w + (i[2] if len(i) > 2 else 0)
@@ -342,6 +360,24 @@ def _jax_exec(model: OnnxModel, inits, feeds):
             y = i[0] / i[1]
         elif op == "Sqrt":
             y = jnp.sqrt(i[0])
+        elif op == "Sigmoid":
+            y = jax.nn.sigmoid(i[0])
+        elif op == "Abs":
+            y = jnp.abs(i[0])
+        elif op == "Sign":
+            y = jnp.sign(i[0])
+        elif op == "Greater":
+            y = i[0] > i[1]
+        elif op == "Equal":
+            y = i[0] == i[1]
+        elif op == "Where":
+            y = jnp.where(i[0], i[1], i[2])
+        elif op == "ReduceMax":
+            y = i[0].max(axis=tuple(a["axes"]), keepdims=bool(a.get("keepdims", 1)))
+        elif op == "ArgMax":
+            y = jnp.argmax(i[0], axis=a.get("axis", 0)).astype(jnp.int64)
+            if a.get("keepdims", 1):
+                y = jnp.expand_dims(y, a.get("axis", 0))
         elif op == "Gemm":
             w = i[1].T if a.get("transB", 0) else i[1]
             y = i[0] @ w + (i[2] if len(i) > 2 else 0)

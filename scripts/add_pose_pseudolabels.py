@@ -59,8 +59,8 @@ def fitall(args):
     print("Inferring from networks:", args.checkpoints)
 
     from neuralnet_tracker_traincode_tpu.eval.predictor import (
-        CheckpointPoseNetwork,
         Predictor,
+        load_pose_network,
     )
 
     if not args.dryrun:
@@ -75,7 +75,9 @@ def fitall(args):
 
     outputs_per_net = defaultdict(list)
     for modelfile in args.checkpoints:
-        net = CheckpointPoseNetwork(modelfile)
+        # Framework checkpoints AND --full ONNX exports (which carry the raw
+        # unnormalized_quat/pt3d_68/shapeparam outputs) are both accepted.
+        net = load_pose_network(modelfile)
         predictor = Predictor(net, focus_roi_expansion_factor=1.2)
         outputs = fit_dataset(net, predictor, ds, args.batchsize)
         for k, v in outputs.items():

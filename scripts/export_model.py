@@ -68,6 +68,11 @@ def main():
         "--localizer", action="store_true", help="export a LocalizerNet checkpoint"
     )
     parser.add_argument("--no-parity-check", dest="parity", action="store_false", default=True)
+    parser.add_argument("--full", action="store_true", default=False,
+                        help="export ALL eval outputs under their raw names "
+                             "(coord/pose/roi/unnormalized_quat/pt3d_68/shapeparam/"
+                             "hasface + scales) instead of the opentrack subset; "
+                             "reference ExportModel (export_model.py:148-169)")
     parser.add_argument("--atol", type=float, default=None,
                         help="parity tolerance (default 1e-4, 5e-2 for --half)")
     parser.add_argument("--half", "--posehalf", dest="half", action="store_true", default=False,
@@ -100,7 +105,8 @@ def main():
         if args.quantize:
             quant_ranges = _calibrate(args, model, variables, onnx_export)
         blob = onnx_export.build_posenet_onnx(
-            model, variables, fp16=args.half, quant_ranges=quant_ranges
+            model, variables, outputs="full" if args.full else "opentrack",
+            fp16=args.half, quant_ranges=quant_ranges,
         )
         in_shape = (1, model.input_resolution, model.input_resolution, 1)
     atol = args.atol if args.atol is not None else (
@@ -125,13 +131,16 @@ def main():
                 ref = {"logit_box": np.asarray(model.apply(variables, jnp.asarray(x_nhwc)))}
             else:
                 r = model.apply(variables, jnp.asarray(x_nhwc), train=False)
-                ref = {"pos_size": r["coord"], "quat": r["pose"], "box": r["roi"]}
-                if model.enable_uncertainty:
-                    ref.update(
-                        pos_size_scales=r["coord_scales"],
-                        rotaxis_scales_tril=r["pose_scales_tril"],
-                        box_scales=r["roi_scales"],
-                    )
+                if args.full:
+                    ref = {k: r[k] for k in sess.output_names}
+                else:
+                    ref = {"pos_size": r["coord"], "quat": r["pose"], "box": r["roi"]}
+                    if model.enable_uncertainty:
+                        ref.update(
+                            pos_size_scales=r["coord_scales"],
+                            rotaxis_scales_tril=r["pose_scales_tril"],
+                            box_scales=r["roi_scales"],
+                        )
         worst = 0.0
         for k, v in ref.items():
             err = float(np.abs(outs[k] - np.asarray(v)).max())

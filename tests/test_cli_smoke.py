@@ -1,10 +1,12 @@
-"""End-to-end CLI smoke: train -> evaluate through the real script mains.
+"""End-to-end CLI smoke: train -> evaluate / export -> pseudo-label through
+the real script mains.
 
 The reference's test suite never exercises its CLIs; SURVEY.md section 4 calls
 this out as a gap the rebuild should close. Runs on the 8-virtual-device CPU
 mesh with a tiny synthetic aflw2k dataset.
 """
 
+import shutil
 import sys
 from os.path import dirname, join, realpath
 
@@ -15,6 +17,8 @@ sys.path.insert(0, join(dirname(realpath(__file__)), "..", "scripts"))
 
 from tests.test_pipelines import write_pose_h5
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def datadir(tmp_path_factory):
@@ -23,28 +27,38 @@ def datadir(tmp_path_factory):
     return d
 
 
-def test_train_then_evaluate_cli(datadir, tmp_path, monkeypatch):
-    monkeypatch.setenv("DATADIR", str(datadir))
-    outdir = tmp_path / "run"
+@pytest.fixture(scope="module")
+def trained_ckpt(datadir, tmp_path_factory):
+    """Train once through the real CLI; shared by the eval and export tests."""
+    outdir = tmp_path_factory.mktemp("cli_run")
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setenv("DATADIR", str(datadir))
 
-    import train_poseestimator
+        import train_poseestimator
 
-    monkeypatch.setattr(sys, "argv", [
-        "train_poseestimator.py", "--ds", "aflw2k", "--epochs", "1",
-        "--batchsize", "16", "--samples-per-epoch", "64",
-        "--outdir", str(outdir), "--no-imgaug",
-    ])
-    train_poseestimator.main()
-
+        mp.setattr(sys, "argv", [
+            "train_poseestimator.py", "--ds", "aflw2k", "--epochs", "1",
+            "--batchsize", "16", "--samples-per-epoch", "64",
+            "--outdir", str(outdir), "--no-imgaug",
+        ])
+        train_poseestimator.main()
+    finally:
+        mp.undo()
     ckpt = outdir / "NetworkWithPointHead_mobilenetv1" / "best.ckpt"
     assert ckpt.exists()
     assert (outdir / "NetworkWithPointHead_mobilenetv1" / "resume.msgpack").exists()
+    return ckpt
+
+
+def test_train_then_evaluate_cli(trained_ckpt, datadir, tmp_path, monkeypatch):
+    monkeypatch.setenv("DATADIR", str(datadir))
 
     import evaluate_pose_network
 
     json_out = str(tmp_path / "result.json")
     monkeypatch.setattr(sys, "argv", [
-        "evaluate_pose_network.py", str(ckpt), "--ds", "aflw2k3d",
+        "evaluate_pose_network.py", str(trained_ckpt), "--ds", "aflw2k3d",
         "--device", "cpu", "--json", json_out,
     ])
     evaluate_pose_network.main()
@@ -56,3 +70,36 @@ def test_train_then_evaluate_cli(datadir, tmp_path, monkeypatch):
     (model_rows,) = table.values()
     assert "Geodesic°" in model_rows
     assert np.isfinite(model_rows["Geodesic°"][0])
+
+
+def test_export_full_then_pseudolabel_cli(trained_ckpt, datadir, tmp_path, monkeypatch):
+    """--full ONNX export feeds the pseudo-labeling CLI (VERDICT round-1 item 4)."""
+    import export_model
+
+    onnx_out = str(tmp_path / "model_full.onnx")
+    monkeypatch.setattr(sys, "argv", [
+        "export_model.py", str(trained_ckpt), "--output", onnx_out, "--full",
+    ])
+    export_model.main()
+
+    import argparse
+
+    import h5py
+
+    import add_pose_pseudolabels
+
+    labeled = str(tmp_path / "labeled.h5")
+    shutil.copy(str(datadir / "aflw2k.h5"), labeled)
+    add_pose_pseudolabels.fitall(argparse.Namespace(
+        filename=labeled, checkpoints=[onnx_out], batchsize=512,
+        hdfgroupname="", dryrun=False, overwrite=True,
+    ))
+
+    with h5py.File(labeled, "r") as f:
+        quats = f["quats"][...]
+        assert quats.shape == (420, 4)
+        np.testing.assert_allclose(np.linalg.norm(quats, axis=-1), 1.0, atol=1e-4)
+        assert f["coords"].shape == (420, 3)
+        assert f["pt3d_68"].shape == (420, 68, 3)
+        assert f["shapeparams"].shape == (420, 50)
+        assert np.isfinite(f["pt3d_68"][...]).all()

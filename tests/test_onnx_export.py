@@ -193,3 +193,126 @@ def test_jax_onnx_session_matches_numpy(posenet_and_vars, rng):
     out_qjx = onnx_run.JaxOnnxSession(qblob).run(None, {"x": x})
     for a, b in zip(out_qnp, out_qjx):
         np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_posenet_onnx_full_outputs(rng):
+    model = NetworkWithPointHead(
+        enable_point_head=True, enable_uncertainty=True, enable_face_detector=True,
+        config="mobilenetv1",
+    )
+    variables = _init(model, (1, 129, 129, 1))
+    # Non-trivial learned offsets for BOTH offset heads.
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    p = np.zeros((8, 4), np.float32)
+    p[0] = [0.02, 0.08, -0.15, 0.25]
+    params["local_pose_offset"]["p"] = jnp.asarray(p)
+    pk = np.zeros((8, 4), np.float32)
+    pk[0] = [0.0, -0.05, 0.1, -0.3]
+    params["local_pose_offset_kpts"]["p"] = jnp.asarray(pk)
+    variables = {"params": params, "batch_stats": variables["batch_stats"]}
+
+    blob = onnx_export.build_posenet_onnx(model, variables, outputs="full")
+    sess = onnx_run.NumpyOnnxSession(blob)
+    assert set(sess.output_names) == {
+        "coord", "pose", "roi", "unnormalized_quat", "pt3d_68", "shapeparam",
+        "hasface_logits", "hasface",
+        "coord_scales", "pose_scales_tril", "roi_scales",
+        "pt3d_68_scales", "shapeparam_scales",
+    }
+    x_nhwc = (rng.rand(2, 129, 129, 1).astype(np.float32) - 0.5)
+    ref = model.apply(variables, jnp.asarray(x_nhwc), train=False)
+    out = dict(zip(sess.output_names, sess.run(None, {"x": np.moveaxis(x_nhwc, -1, 1)})))
+    for key in sess.output_names:
+        np.testing.assert_allclose(
+            out[key], np.asarray(ref[key]), atol=2e-4, err_msg=key
+        )
+    assert out["pt3d_68"].shape == (2, 68, 3)
+    assert out["hasface"].shape == (2,)
+
+
+@pytest.mark.slow
+def test_posenet_onnx_blurpool_mobilenet(rng):
+    model = NetworkWithPointHead(
+        enable_point_head=True, config="mobilenetv1",
+        backbone_args={"use_blurpool": True},
+    )
+    variables = _init(model, (1, 129, 129, 1))
+    blob = onnx_export.build_posenet_onnx(model, variables)
+    sess = onnx_run.NumpyOnnxSession(blob)
+    x_nhwc = (rng.rand(2, 129, 129, 1).astype(np.float32) - 0.5)
+    ref = model.apply(variables, jnp.asarray(x_nhwc), train=False)
+    out = dict(zip(sess.output_names, sess.run(None, {"x": np.moveaxis(x_nhwc, -1, 1)})))
+    np.testing.assert_allclose(out["quat"], np.asarray(ref["pose"]), atol=1e-4)
+    np.testing.assert_allclose(out["pos_size"], np.asarray(ref["coord"]), atol=1e-4)
+    np.testing.assert_allclose(out["box"], np.asarray(ref["roi"]), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_posenet_onnx_blurpool_resnet18(rng):
+    model = NetworkWithPointHead(
+        enable_point_head=True, config="resnet18",
+        backbone_args={"use_blurpool": True},
+    )
+    variables = _init(model, (1, 129, 129, 1))
+    blob = onnx_export.build_posenet_onnx(model, variables)
+    sess = onnx_run.NumpyOnnxSession(blob)
+    x_nhwc = (rng.rand(2, 129, 129, 1).astype(np.float32) - 0.5)
+    ref = model.apply(variables, jnp.asarray(x_nhwc), train=False)
+    out = dict(zip(sess.output_names, sess.run(None, {"x": np.moveaxis(x_nhwc, -1, 1)})))
+    np.testing.assert_allclose(out["quat"], np.asarray(ref["pose"]), atol=1e-4)
+    np.testing.assert_allclose(out["pos_size"], np.asarray(ref["coord"]), atol=1e-4)
+    np.testing.assert_allclose(out["box"], np.asarray(ref["roi"]), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_posenet_onnx_6drot_full(rng):
+    model = NetworkWithPointHead(
+        enable_point_head=True, enable_6drot=True, config="mobilenetv1"
+    )
+    variables = _init(model, (1, 129, 129, 1))
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    p = np.zeros((8, 4), np.float32)
+    p[0] = [0.0, 0.12, -0.1, 0.2]
+    params["local_pose_offset"]["p"] = jnp.asarray(p)
+    variables = {"params": params, "batch_stats": variables["batch_stats"]}
+
+    blob = onnx_export.build_posenet_onnx(model, variables, outputs="full")
+    sess = onnx_run.NumpyOnnxSession(blob)
+    assert "unnormalized_6drepr" in sess.output_names
+    x_nhwc = (rng.rand(3, 129, 129, 1).astype(np.float32) - 0.5)
+    ref = model.apply(variables, jnp.asarray(x_nhwc), train=False)
+    out = dict(zip(sess.output_names, sess.run(None, {"x": np.moveaxis(x_nhwc, -1, 1)})))
+    for key in ("coord", "pose", "roi", "unnormalized_6drepr", "pt3d_68", "shapeparam"):
+        np.testing.assert_allclose(
+            out[key], np.asarray(ref[key]), atol=2e-4, err_msg=key
+        )
+    # quaternion from the on-graph from_matrix must be normalized w/ positive real
+    np.testing.assert_allclose(np.linalg.norm(out["pose"], axis=-1), 1.0, atol=1e-5)
+    assert (out["pose"][:, 3] >= 0).all()
+
+
+def test_posenet_onnx_6drot_opentrack(rng):
+    model = NetworkWithPointHead(enable_point_head=False, enable_6drot=True, config="mobilenetv1")
+    variables = _init(model, (1, 129, 129, 1))
+    blob = onnx_export.build_posenet_onnx(model, variables)
+    sess = onnx_run.NumpyOnnxSession(blob)
+    x_nhwc = (rng.rand(2, 129, 129, 1).astype(np.float32) - 0.5)
+    ref = model.apply(variables, jnp.asarray(x_nhwc), train=False)
+    out = dict(zip(sess.output_names, sess.run(None, {"x": np.moveaxis(x_nhwc, -1, 1)})))
+    np.testing.assert_allclose(out["quat"], np.asarray(ref["pose"]), atol=2e-4)
+    np.testing.assert_allclose(out["pos_size"], np.asarray(ref["coord"]), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_posenet_onnx_efficientnet_b0(rng):
+    model = NetworkWithPointHead(enable_point_head=True, config="efficientnet_b0")
+    variables = _init(model, (1, 129, 129, 1))
+    blob = onnx_export.build_posenet_onnx(model, variables)
+    sess = onnx_run.NumpyOnnxSession(blob)
+    x_nhwc = (rng.rand(1, 129, 129, 1).astype(np.float32) - 0.5)
+    ref = model.apply(variables, jnp.asarray(x_nhwc), train=False)
+    out = dict(zip(sess.output_names, sess.run(None, {"x": np.moveaxis(x_nhwc, -1, 1)})))
+    np.testing.assert_allclose(out["quat"], np.asarray(ref["pose"]), atol=2e-4)
+    np.testing.assert_allclose(out["pos_size"], np.asarray(ref["coord"]), atol=2e-4)
+    np.testing.assert_allclose(out["box"], np.asarray(ref["roi"]), atol=2e-4)
