@@ -32,10 +32,32 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Place a pytree of host arrays onto the mesh, sharded along axis 0."""
+    """Place a pytree of host arrays onto the mesh, sharded along axis 0.
+
+    Single-process: `batch` holds the GLOBAL batch and is device_put sharded.
+    Multi-process (`jax.process_count() > 1`): each process passes its LOCAL
+    shard (global_batch / process_count rows — the sampler stream is per-host
+    sharded, see `pipelines.make_pose_estimation_loaders`); the global array is
+    assembled with `jax.make_array_from_process_local_data`, so no host ever
+    materializes the full batch. Exercised by tests/test_multihost.py with a
+    2-process CPU `jax.distributed` setup.
+    """
     sharding = batch_sharding(mesh, axis_name)
 
-    def put(x):
-        return jax.device_put(x, sharding)
+    if jax.process_count() == 1:
+        def put(x):
+            return jax.device_put(x, sharding)
+    else:
+        def put(x):
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def process_local_seed(seed: Optional[int]) -> Optional[int]:
+    """Fold the process index into a sampler seed so every host draws a
+    disjoint, deterministic stream. None stays None (OS entropy is already
+    per-process)."""
+    if seed is None or jax.process_count() == 1:
+        return seed
+    return int((seed * 1000003 + 7919 * jax.process_index()) % (2**31 - 1))

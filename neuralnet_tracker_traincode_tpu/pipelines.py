@@ -340,7 +340,14 @@ def make_pose_estimation_loaders(
     )
 
     concat = ConcatDataset(train_sets)
-    sampler = make_concat_dataset_item_sampler(concat, frequencies, seed=seed)
+    # Multi-host: each process samples a disjoint deterministic stream and
+    # loads only its local shard (batchsize here is PER-HOST); shard_batch
+    # assembles the global array (`parallel/mesh.py`).
+    from neuralnet_tracker_traincode_tpu.parallel.mesh import process_local_seed
+
+    sampler = make_concat_dataset_item_sampler(
+        concat, frequencies, seed=process_local_seed(seed)
+    )
     if pad_size is None:
         pad_size = probe_pad_size(train_sets)
         print(f"Probed pad size: {pad_size}")
