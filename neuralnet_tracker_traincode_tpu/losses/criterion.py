@@ -113,6 +113,33 @@ class _Term(NamedTuple):
     f: Callable
 
 
+def _loss_fingerprint(f) -> tuple:
+    """Semantic dedup key for a loss callable.
+
+    Two tags often configure equal-but-distinct loss objects (e.g. both build
+    `QuatPoseLoss('approx_distance')`). Keying terms on id(f) would evaluate
+    such duplicates separately over the full batch — O(terms) extra full-batch
+    work as tag count grows. The loss classes here are plain objects whose
+    behavior is fully determined by their simple attributes, so fingerprint on
+    (type, sorted simple attrs); attributes that are not plain values (e.g. a
+    GMM table) fall back to identity.
+    """
+    d = getattr(f, "__dict__", None)
+    if d is None:  # plain function / partial: identity semantics
+        return (f,)
+    attrs = []
+    for k, v in sorted(d.items()):
+        if isinstance(v, (str, int, float, bool, type(None))):
+            attrs.append((k, v))
+        elif isinstance(v, (tuple, list)) and all(
+            isinstance(x, (str, int, float, bool, type(None))) for x in v
+        ):
+            attrs.append((k, tuple(v)))
+        else:
+            attrs.append((k, id(v)))
+    return (type(f), tuple(attrs))
+
+
 def _flatten_group(crit, prefix="", scale_fns=()):
     """Yield (name, f, composed_weight_fn) leaves of a criterion tree."""
     if isinstance(crit, Criterion):
@@ -142,7 +169,9 @@ class MaskedMultiTaskCriterion:
     def __init__(self, crit_by_tag: Dict[Any, Union[Criterion, CriterionGroup]], tags: Sequence[Any]):
         self.tags = list(tags)
         self.tag_index = {t: i for i, t in enumerate(self.tags)}
-        # Deduplicate terms shared between tags (same f object & name).
+        # Deduplicate terms shared between tags — by semantic fingerprint, so
+        # equal-but-distinct loss objects map to ONE term evaluated once over
+        # the fused batch (see _loss_fingerprint).
         term_key_to_idx = {}
         self.terms: List[_Term] = []
         # weight_fns[tag_idx][term_idx] -> callable(step) or None
@@ -150,7 +179,7 @@ class MaskedMultiTaskCriterion:
         for tag in self.tags:
             crit = crit_by_tag[tag]
             for name, f, weight_fn in _flatten_group(crit):
-                key = (name, id(f))
+                key = (name, _loss_fingerprint(f))
                 if key not in term_key_to_idx:
                     term_key_to_idx[key] = len(self.terms)
                     self.terms.append(_Term(name, f))
@@ -179,6 +208,15 @@ class MaskedMultiTaskCriterion:
 
         preds/batch: dicts of fused (B, ...) arrays; tag_id: (B,) int array;
         weight_matrix: (num_tags, num_terms); dataset_weight: optional (B,).
+
+        Metric semantics note: loss_sum is sum(w*v)/B over the FULL batch —
+        bit-equal to the reference's `default_compute_loss` (train.py:424-431,
+        missing losses count as 0). The per-name pairs are masked raw values
+        (val*(w!=0), w); the train loop reports sum(vals)/count(w!=0), i.e.
+        the mean over samples whose tag defines the term — the same thing the
+        reference plots (LitModel logs the concatenated raw sub-batch values
+        per name, `train_poseestimator.py:317-323`, and the plotter averages
+        them), NOT the full-batch mean used for loss_sum.
         """
         losses = {}
         B = tag_id.shape[0]

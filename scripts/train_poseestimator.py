@@ -268,23 +268,30 @@ def main():
         t0 = time.time()
         metrics = None
         profile_ctx = trace(args.profile_dir if epoch == start_epoch else None)
+        # Metrics stay ON DEVICE during the epoch (scalars); a single bulk
+        # device_get runs at epoch end. Converting per step blocks on a
+        # host<->device round trip per metric per step, which serializes the
+        # pipeline (measured: 38 img/s/chip with per-step int()/float() pulls
+        # vs loader-bound throughput without).
+        metrics_hist = []
         with profile_ctx:
             profile_steps = 8 if args.profile_dir and epoch == start_epoch else steps_per_epoch
             for _ in range(min(profile_steps, steps_per_epoch)):
                 batch = next(data_iter)
                 state, metrics = trainer.train_step(state, batch, W, rng)
                 meter.step(args.batchsize)
-                for k, v in metrics.items():
-                    plotter.add_train_point(epoch, int(state.step), k, v)
-                    console.add_train_point(epoch, int(state.step), k, v)
+                metrics_hist.append(metrics)
         for _ in range(max(0, steps_per_epoch - profile_steps)):
             batch = next(data_iter)
             state, metrics = trainer.train_step(state, batch, W, rng)
             meter.step(args.batchsize)
-            for k, v in metrics.items():
-                plotter.add_train_point(epoch, int(state.step), k, v)
-                console.add_train_point(epoch, int(state.step), k, v)
+            metrics_hist.append(metrics)
         check_not_nan(metrics, state, batch)
+        step0 = int(state.step) - len(metrics_hist)
+        for i, m in enumerate(jax.device_get(metrics_hist)):
+            for k, v in m.items():
+                plotter.add_train_point(epoch, step0 + i + 1, k, float(v))
+                console.add_train_point(epoch, step0 + i + 1, k, float(v))
         samples_done += steps_per_epoch * args.batchsize
         dt = time.time() - t0
         ips = steps_per_epoch * args.batchsize / dt

@@ -11,6 +11,7 @@ from neuralnet_tracker_traincode_tpu.train.checkpointing import (
 )
 
 
+@pytest.mark.slow
 def test_train_state_roundtrip(tmp_path):
     from neuralnet_tracker_traincode_tpu.augmentation.pipeline import TrainAugmentationConfig
     from neuralnet_tracker_traincode_tpu.data.fields import Tag

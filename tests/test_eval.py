@@ -114,6 +114,7 @@ def test_predictor_roundtrip(tiny_net, rng):
     assert np.all(coord[:, 2] > 0)
 
 
+@pytest.mark.slow
 def test_predictor_evaluate_streams(tiny_net, rng):
     predictor = Predictor(tiny_net, focus_roi_expansion_factor=1.1)
 

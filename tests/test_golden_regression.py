@@ -12,6 +12,7 @@ regenerate them with the snippet in the docstring of
 `test_augmentation_golden_values` — do NOT loosen tolerances.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +56,7 @@ def _golden_inputs():
     return key, images, labels, categories
 
 
+@pytest.mark.slow
 def test_augmentation_golden_values():
     """Regenerate goldens by printing the asserted quantities with this
     test's inputs (rng 12345 / key 20260816) after an intentional change."""
@@ -75,6 +77,7 @@ def test_augmentation_golden_values():
     np.testing.assert_allclose(np.abs(pose0[3]), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_augmentation_seed_determinism():
     key, images, labels, categories = _golden_inputs()
     cfg = TrainAugmentationConfig(inputsize=129)
@@ -89,6 +92,7 @@ def test_augmentation_seed_determinism():
     assert not np.allclose(np.asarray(x1), np.asarray(x3))
 
 
+@pytest.mark.slow
 def test_train_step_seed_determinism():
     """Two identically-seeded trainer steps produce bitwise-equal params."""
     from tests.test_train_loop import make_synthetic_batch, make_trainer

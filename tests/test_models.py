@@ -81,6 +81,7 @@ def test_posenet_coord_convention_ids():
     assert out["coord"].shape == (B, 3)
 
 
+@pytest.mark.slow
 def test_posenet_train_mode_jit_and_grad():
     model = NetworkWithPointHead(enable_point_head=True, enable_uncertainty=False)
     variables, x = init_model(model)
@@ -114,6 +115,7 @@ def test_backbone_intermediate_shapes():
     assert [f.shape[-1] for f in inter] == [64, 128, 256, 512, 1024]
 
 
+@pytest.mark.slow
 def test_hybrid_vit_backbone():
     from neuralnet_tracker_traincode_tpu.models.backbones.hybrid_vit import HybridVitBackbone
 
@@ -124,6 +126,7 @@ def test_hybrid_vit_backbone():
     assert out.shape == (2, 4, 256)
 
 
+@pytest.mark.slow
 def test_efficientnet_backbone():
     from neuralnet_tracker_traincode_tpu.models.backbones.efficientnet import EfficientNetBackbone
 
@@ -135,6 +138,7 @@ def test_efficientnet_backbone():
     assert [f.shape[1] for f in inter] == [65, 33, 17, 9, 5]
 
 
+@pytest.mark.slow
 def test_localizer_forward():
     model = LocalizerNet()
     x = jnp.zeros((2, 224, 288, 1))

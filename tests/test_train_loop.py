@@ -86,6 +86,7 @@ def trainer_and_state():
     return trainer, make_state
 
 
+@pytest.mark.slow
 def test_train_steps_run_and_update(trainer_and_state, rng, tmp_path):
     trainer, make_state = trainer_and_state
     state = make_state()
@@ -123,6 +124,7 @@ def test_train_steps_run_and_update(trainer_and_state, rng, tmp_path):
     assert model2.get_config() == trainer.model.get_config()
 
 
+@pytest.mark.slow
 def test_training_reduces_loss(trainer_and_state, rng):
     # Same batch repeatedly: loss must drop substantially (overfit check).
     trainer, make_state = trainer_and_state
