@@ -126,3 +126,17 @@ def list_of_dicts_to_dict_of_lists(lod: List[Dict[Any, Any]]) -> Dict[Any, List[
         return {}
     first = next(iter(lod))
     return {k: [items[k] for items in lod] for k in first.keys()}
+
+
+def enable_persistent_compile_cache(path: str = None) -> str:
+    """Point JAX at an on-disk compilation cache (repeat CLI runs skip the
+    20 s-10 min XLA:TPU compiles; `bench.py` uses the same directory)."""
+    import jax
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.realpath(__file__))),
+                            ".cache", "jax")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    return path

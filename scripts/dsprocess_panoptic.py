@@ -313,11 +313,21 @@ class PanopticSequence:
         return sorted(frames)
 
 
-def stream_frames(sequence_dir: Path, cam_id: int, max_num_frames: Optional[int]):
+VIDEOS_DIR = "hdVideos"
+# Recompressed (same-resolution, lower-bitrate) copies; the reference supports
+# reading them but warns the recompression measurably hurts model accuracy
+# (`dsprocess_panoptic.py:994-995`).
+SHRINKED_VIDEOS_DIR = "hdVideosShrinked"
+
+
+def stream_frames(
+    sequence_dir: Path, cam_id: int, max_num_frames: Optional[int],
+    videos_dir: str = VIDEOS_DIR,
+):
     """Decode hd_00_XX.mp4 with cv2.VideoCapture (reference pipes ffmpeg)."""
     import cv2
 
-    video_fn = sequence_dir / "hdVideos" / f"hd_{HDCAM_PANEL:02}_{cam_id:02}.mp4"
+    video_fn = sequence_dir / videos_dir / f"hd_{HDCAM_PANEL:02}_{cam_id:02}.mp4"
     if not video_fn.exists():
         raise RuntimeError(f"Video missing: {video_fn}")
     cap = cv2.VideoCapture(str(video_fn))
@@ -344,7 +354,10 @@ def _not_self_occluded(pose: Pose, body: Body, cam_id: int) -> bool:
     )
 
 
-def iterate_crops(sequence_dir, cam_id: int, max_num_frames=None, every: int = 60):
+def iterate_crops(
+    sequence_dir, cam_id: int, max_num_frames=None, every: int = 60,
+    use_shrinked_videos: bool = False,
+):
     from neuralnet_tracker_traincode_tpu.data.preprocessing import extract_image_roi
 
     sequence_dir = Path(sequence_dir)
@@ -353,8 +366,9 @@ def iterate_crops(sequence_dir, cam_id: int, max_num_frames=None, every: int = 6
     cam = panseq.cameras[cam_id]
     face_vertices = _face_vertices()
     sphere_points = _sphere_points()
+    videos_dir = SHRINKED_VIDEOS_DIR if use_shrinked_videos else VIDEOS_DIR
 
-    for frame_num, frame_img in stream_frames(sequence_dir, cam_id, max_num_frames):
+    for frame_num, frame_img in stream_frames(sequence_dir, cam_id, max_num_frames, videos_dir):
         if frame_num not in labeled or frame_num % every != 0:
             continue
         for body in load_bodies(sequence_dir, frame_num):
@@ -379,7 +393,8 @@ def iterate_crops(sequence_dir, cam_id: int, max_num_frames=None, every: int = 6
             yield crop, ppose, bbox, body.id, frame_num
 
 
-def write_dataset_piece(out_fn, sequence_dir, cam_id, max_num_frames=None, every: int = 60):
+def write_dataset_piece(out_fn, sequence_dir, cam_id, max_num_frames=None, every: int = 60,
+                        use_shrinked_videos: bool = False):
     import cv2
     import h5py
 
@@ -392,7 +407,7 @@ def write_dataset_piece(out_fn, sequence_dir, cam_id, max_num_frames=None, every
     # reference applies via rot_correction, :832 & :838).
     rot_correction = Rotation.from_rotvec([np.pi, 0.0, 0.0])
     for crop, ppose, bbox, individual, frame_num in iterate_crops(
-        sequence_dir, cam_id, max_num_frames, every
+        sequence_dir, cam_id, max_num_frames, every, use_shrinked_videos
     ):
         gray = cv2.cvtColor(crop, cv2.COLOR_RGB2GRAY) if crop.ndim == 3 else crop
         images.append(gray)
@@ -429,7 +444,8 @@ def write_dataset_piece(out_fn, sequence_dir, cam_id, max_num_frames=None, every
     print(f"Wrote {out_fn}: {N} crops")
 
 
-def write_dataset_pieces(out_dir, sequence_dirs, max_num_frames=None, every: int = 60):
+def write_dataset_pieces(out_dir, sequence_dirs, max_num_frames=None, every: int = 60,
+                         use_shrinked_videos: bool = False):
     os.makedirs(out_dir, exist_ok=True)
     for sequence_dir in sequence_dirs:
         for cam_id in PanopticSequence(sequence_dir).cameras:
@@ -437,7 +453,81 @@ def write_dataset_pieces(out_dir, sequence_dirs, max_num_frames=None, every: int
             if out_fn.exists():
                 print(f"Skipped existing {out_fn}")
                 continue
-            write_dataset_piece(out_fn, sequence_dir, cam_id, max_num_frames, every)
+            write_dataset_piece(
+                out_fn, sequence_dir, cam_id, max_num_frames, every, use_shrinked_videos
+            )
+
+
+def shrink_videos(directories):
+    """Two-pass x264 recompression into hdVideosShrinked/ (reference
+    `shrink_videos`, which itself warns: the recompression artifacts measurably
+    hurt model accuracy — prefer the originals)."""
+    import subprocess
+
+    for directory in map(Path, directories):
+        os.makedirs(directory / SHRINKED_VIDEOS_DIR, exist_ok=True)
+        for input_fn in sorted((directory / VIDEOS_DIR).glob("*.mp4")):
+            output = directory / SHRINKED_VIDEOS_DIR / input_fn.name
+            if output.exists():
+                print("Skipped", input_fn)
+                continue
+            subprocess.check_call([
+                "ffmpeg", "-i", str(input_fn), "-c:v", "libx264", "-b:v", "4M",
+                "-pass", "1", "-an", "-f", "null", os.devnull,
+            ])
+            subprocess.check_call([
+                "ffmpeg", "-i", str(input_fn), "-c:v", "libx264", "-b:v", "4M",
+                "-pass", "2", "-minrate", "1M", "-maxrate", "6M", "-an", str(output),
+            ])
+
+
+def vis_frame(sequence_dir, frame_num: int, cam_id: int, out_png: str,
+              use_shrinked_videos: bool = False):
+    """Render one frame's bodies (pose circle, axes, bbox, projected face
+    points) to a PNG — headless replacement for the reference's vis_one /
+    vis_crop_labels matplotlib browsers."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.patches as mpatches
+    import matplotlib.pyplot as plt
+
+    sequence_dir = Path(sequence_dir)
+    panseq = PanopticSequence(sequence_dir)
+    cam = panseq.cameras[cam_id]
+    videos_dir = SHRINKED_VIDEOS_DIR if use_shrinked_videos else VIDEOS_DIR
+    frame_img = None
+    for n, img in stream_frames(sequence_dir, cam_id, frame_num + 1, videos_dir):
+        if n == frame_num:
+            frame_img = img
+    assert frame_img is not None, f"frame {frame_num} not reachable"
+
+    face_vertices = _face_vertices()
+    sphere_points = _sphere_points()
+    fig, ax = plt.subplots(1, 1, figsize=(15, 15))
+    ax.imshow(frame_img)
+    ax.set_autoscale_on(False)
+    for body in load_bodies(sequence_dir, frame_num):
+        pose = body.head_pose
+        ppose = cam.project_pose(pose)
+        if not ppose.valid:
+            continue
+        pts = cam.project(body.face_points)
+        vis = body.face_points_visibility[cam_id]
+        ax.scatter(pts[vis, 0], pts[vis, 1], color="w", s=2.0)
+        ax.scatter(pts[~vis, 0], pts[~vis, 1], color="r", s=2.0)
+        ax.add_artist(mpatches.Circle(ppose.t, ppose.size, ec="w", fc="none"))
+        axis_scale = 10.0  # cm in world units, projected
+        xyz_proj = cam.project(pose.t[None, :] + axis_scale * pose.rot.as_matrix().T)
+        for e, c in zip(xyz_proj, "rgb"):
+            ax.plot([ppose.t[0], e[0]], [ppose.t[1], e[1]], color=c)
+        bbox = body.guestimate_head_bounding_box(cam, face_vertices, sphere_points)
+        ax.add_artist(mpatches.Rectangle(
+            bbox[:2], bbox[2] - bbox[0], bbox[3] - bbox[1], ec="r", fc="none"
+        ))
+    fig.savefig(out_png, bbox_inches="tight")
+    plt.close(fig)
+    print(f"Wrote {out_png}")
 
 
 def main():
@@ -450,8 +540,10 @@ def main():
     piece.add_argument("output")
     piece.add_argument("-n", type=int, default=None, help="max frames to scan")
     piece.add_argument("--every", type=int, default=60, help="use every n-th labeled frame")
+    piece.add_argument("--sv", action="store_true", default=False,
+                       help="read the recompressed hdVideosShrinked/ copies")
     piece.set_defaults(
-        func=lambda a: write_dataset_piece(a.output, a.sequence_root, a.cam, a.n, a.every)
+        func=lambda a: write_dataset_piece(a.output, a.sequence_root, a.cam, a.n, a.every, a.sv)
     )
 
     pieces = sub.add_parser("create-pieces", help="all sequences x all HD cameras")
@@ -459,8 +551,27 @@ def main():
     pieces.add_argument("output")
     pieces.add_argument("-n", type=int, default=None)
     pieces.add_argument("--every", type=int, default=60)
+    pieces.add_argument("--sv", action="store_true", default=False)
     pieces.set_defaults(
-        func=lambda a: write_dataset_pieces(a.output, a.roots, a.n, a.every)
+        func=lambda a: write_dataset_pieces(a.output, a.roots, a.n, a.every, a.sv)
+    )
+
+    shrink = sub.add_parser(
+        "shrink-videos",
+        help="two-pass x264 recompression into hdVideosShrinked/ "
+             "(reference warns this hurts accuracy; prefer the originals)",
+    )
+    shrink.add_argument("directories", nargs="*")
+    shrink.set_defaults(func=lambda a: shrink_videos(a.directories))
+
+    vis = sub.add_parser("vis", help="render one frame's labels to a PNG")
+    vis.add_argument("sequence_root")
+    vis.add_argument("frame", type=int)
+    vis.add_argument("cam", type=int)
+    vis.add_argument("output")
+    vis.add_argument("--sv", action="store_true", default=False)
+    vis.set_defaults(
+        func=lambda a: vis_frame(a.sequence_root, a.frame, a.cam, a.output, a.sv)
     )
 
     args = parser.parse_args()

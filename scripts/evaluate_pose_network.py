@@ -238,6 +238,9 @@ def run(args):
 
 
 def main():
+    from neuralnet_tracker_traincode_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     parser = argparse.ArgumentParser(description="Evaluate pose networks")
     parser.add_argument("filenames", help="checkpoint or onnx model files", type=str, nargs="*")
     parser.add_argument("--device", default="tpu", type=str)

@@ -185,6 +185,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from neuralnet_tracker_traincode_tpu import utils as _utils
+
+    _utils.enable_persistent_compile_cache()
+
     from neuralnet_tracker_traincode_tpu import pipelines
     from neuralnet_tracker_traincode_tpu.data.loader import LABEL_CATEGORIES, device_prefetch
     from neuralnet_tracker_traincode_tpu.models.posenet import NetworkWithPointHead

@@ -1,0 +1,90 @@
+"""Miniature convergence benchmark (VERDICT round-1 item 3).
+
+Trains the real configuration (mobilenetv1 + NLL heads + SWA + full
+augmentation) on the learnable synthetic marker dataset and asserts the
+evaluation metrics (geodesic rotation error, landmark NME) reach thresholds
+that random or shortcut predictors cannot. Runs the actual CLIs in
+subprocesses on the DEFAULT jax platform (the real accelerator when present) —
+the in-process test conftest pins CPU, which would take hours for this budget.
+
+Measured reference numbers live in docs/CONVERGENCE.md. Thresholds here carry
+~2x headroom over the measured run so the test is robust to seed/hardware
+variation while still failing for any real regression (a non-learning model
+sits at geodesic ~60 deg and NME ~40%).
+"""
+
+import json
+import os
+import subprocess
+import sys
+from os.path import dirname, join, realpath
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+_REPO = join(dirname(realpath(__file__)), "..")
+
+
+def _clean_env(datadir):
+    env = dict(os.environ)
+    # Use the default platform (TPU when attached); the pytest process itself
+    # is pinned to CPU by conftest, subprocesses must not inherit that.
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = ""
+    env["DATADIR"] = str(datadir)
+    return env
+
+
+def _has_accelerator() -> bool:
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; print(jax.default_backend())"],
+        capture_output=True, text=True, env=_clean_env("/tmp"), timeout=300,
+    )
+    return probe.returncode == 0 and probe.stdout.strip() not in ("", "cpu")
+
+
+def test_convergence_synthetic(tmp_path):
+    if not _has_accelerator():
+        pytest.skip("needs an accelerator (CPU would take hours at this budget)")
+
+    datadir = tmp_path / "data"
+    datadir.mkdir()
+    gen = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "from neuralnet_tracker_traincode_tpu.data.synthetic import write_synthetic_pose_dataset; "
+         "write_synthetic_pose_dataset(%r, 4096, 160, seed=3)"
+         % (_REPO, str(datadir / "aflw2k.h5"))],
+        env=_clean_env(datadir), capture_output=True, text=True, timeout=900,
+    )
+    assert gen.returncode == 0, gen.stderr[-3000:]
+
+    epochs = int(os.environ.get("NNTC_CONV_EPOCHS", 16))
+    outdir = tmp_path / "run"
+    train = subprocess.run(
+        [sys.executable, join(_REPO, "scripts", "train_poseestimator.py"),
+         "--ds", "aflw2k", "--epochs", str(epochs), "--batchsize", "128",
+         "--samples-per-epoch", "10240", "--outdir", str(outdir),
+         "--with-nll-loss", "--with-swa"],
+        env=_clean_env(datadir), capture_output=True, text=True, timeout=3600,
+    )
+    assert train.returncode == 0, (train.stdout[-2000:], train.stderr[-3000:])
+    ckpt = outdir / "NetworkWithPointHead_mobilenetv1" / "best.ckpt"
+    assert ckpt.exists()
+
+    json_out = tmp_path / "metrics.json"
+    ev = subprocess.run(
+        [sys.executable, join(_REPO, "scripts", "evaluate_pose_network.py"),
+         str(ckpt), "--ds", "aflw2k3d", "--json", str(json_out)],
+        env=_clean_env(datadir), capture_output=True, text=True, timeout=1800,
+    )
+    assert ev.returncode == 0, (ev.stdout[-2000:], ev.stderr[-3000:])
+    (rows,) = json.load(open(json_out)).values()
+    geo = rows["Geodesic°"][0]
+    nme = rows.get("NME3d%", rows.get("NME%", [float("nan")]))[0]
+    print(f"convergence: geodesic {geo:.2f} deg, NME3d {nme:.2f}%")
+    # Measured (24 epochs, docs/CONVERGENCE.md): geodesic ~3 deg, NME3d ~6%.
+    assert geo < 10.0, geo
+    assert nme < 15.0, nme

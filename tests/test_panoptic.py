@@ -138,3 +138,22 @@ def test_project_pose_scale_matches_pinhole():
     assert proj.valid
     np.testing.assert_allclose(proj.t, [960.0, 540.0], atol=1e-3)
     np.testing.assert_allclose(proj.size, 10.0 * 1000.0 / 200.0, rtol=1e-3)
+
+
+def test_shrinked_videos_and_vis(tmp_path):
+    seq, video_ok = _make_sequence(tmp_path)
+    if not video_ok:
+        pytest.skip("cv2 VideoWriter lacks mp4v support in this build")
+    # "Shrinked" videos are same-resolution recompressions living in a sibling
+    # dir; reading them is a flag flip.
+    import shutil
+
+    shutil.copytree(seq / "hdVideos", seq / "hdVideosShrinked")
+    out = tmp_path / "piece_sv.h5"
+    dp.write_dataset_piece(out, seq, cam_id=0, use_shrinked_videos=True)
+    with h5py.File(out, "r") as f:
+        assert f["quats"].shape == (1, 4)
+
+    png = tmp_path / "vis.png"
+    dp.vis_frame(seq, 0, 0, str(png))
+    assert png.exists() and png.stat().st_size > 1000
