@@ -71,7 +71,7 @@ def _make_e2e_dataset(path: str, n: int, src: int) -> str:
 
     if os.path.isfile(path):
         with h5py.File(path, "r") as f:
-            if len(f["images"]) == n:
+            if len(f["images"]) == n and int(f.attrs.get("bench_src", 0)) == src:
                 return path
     rng = np.random.RandomState(0)
     with h5py.File(path, "w") as f:
@@ -100,6 +100,7 @@ def _make_e2e_dataset(path: str, n: int, src: int) -> str:
             f, C.general, name="shapeparams", count=n, shape_wo_batch_dim=(50,),
             dtype=np.float16, data=rng.randn(n, 50).astype(np.float16),
         )
+        f.attrs["bench_src"] = src
     return path
 
 
@@ -121,10 +122,13 @@ def bench_e2e(trainer, state, mesh, W, key, batchsize: int):
     ds = Hdf5PoseDataset(path, dataclass=Tag.POSE_WITH_LANDMARKS)
     ds.use_raw_images = True
     concat = ConcatDataset([ds])
-    sampler = make_concat_dataset_item_sampler(
-        concat, [1.0], stop_after=batchsize * (n_steps + 4), seed=1
-    )
     workers = int(os.environ.get("NUM_WORKERS", max(1, (os.cpu_count() or 1))))
+    # Budget: each worker can strand one PARTIAL batch when the finite stream
+    # dries up, so grant (workers + margin) extra batches' worth of indices —
+    # otherwise a many-core host starves the loop of complete batches.
+    sampler = make_concat_dataset_item_sampler(
+        concat, [1.0], stop_after=batchsize * (n_steps + 4 + workers), seed=1
+    )
     loader = FusedBatchLoader(
         concat,
         tags_by_dataset_index=lambda i: Tag.POSE_WITH_LANDMARKS,
@@ -136,7 +140,10 @@ def bench_e2e(trainer, state, mesh, W, key, batchsize: int):
     )
     it = device_prefetch(iter(loader), mesh)
     # Warm up: first batch covers loader spin-up + any remaining compiles.
-    sharded = next(it)
+    try:
+        sharded = next(it)
+    except StopIteration:
+        raise SystemExit("e2e bench loader produced no batches (worker starvation?)")
     state, metrics = trainer.train_step(state, sharded, W, key)
     jax.block_until_ready(metrics["loss"])
 

@@ -38,8 +38,7 @@ LABEL_CATEGORIES = {
 }
 
 
-def _bucket(n: int, multiple: int = 64) -> int:
-    return int(-(-int(n) // multiple) * multiple)
+from neuralnet_tracker_traincode_tpu.utils import ceil_to_multiple as _bucket
 
 
 def pack_fused_batch(
@@ -90,6 +89,17 @@ def pack_fused_batch(
 
     largest = max(max(image_dims(im)) for im in raw)
     if largest > pad_size:
+        import jax
+
+        if jax.process_count() > 1:
+            # Growing the pad locally would give THIS host a different batch
+            # shape than its peers — the SPMD train step would then crash or
+            # deadlock at a random step. Fail loudly instead.
+            raise ValueError(
+                f"image of size {largest} exceeds pad_size {pad_size} under "
+                f"multi-process execution; set an exact pad_size (or store the "
+                f"max_image_hw attr at conversion time) so all hosts agree"
+            )
         pad_size = _bucket(largest)
 
     images = None
@@ -235,20 +245,26 @@ class FusedBatchLoader:
         # workers would pile up decoding concurrently for abandoned queues.
         cancel = threading.Event()
 
+        def put_with_cancel(item):
+            # Every put must stay cancellable: a blocking put after the
+            # consumer abandoned the generator would leak the worker thread
+            # (and its HDF5 handles/batch buffers) forever.
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+
         def worker():
             try:
                 while not cancel.is_set():
                     item = self._make_batch(index_iter)
-                    while not cancel.is_set():
-                        try:
-                            q.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
+                    put_with_cancel(item)
             except StopIteration:
-                q.put(stop)
+                put_with_cancel(stop)
             except Exception as e:  # propagate into the consumer
-                q.put(e)
+                put_with_cancel(e)
 
         threads = [
             threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)

@@ -11,7 +11,6 @@ max size in the chunk (bucketed to multiples of 64 to bound recompiles); the
 crop warp, forward pass and label backtransform run jitted on device.
 """
 
-import math
 from abc import ABCMeta, abstractmethod
 from functools import partial
 from typing import Dict, List, Optional, Union
@@ -154,8 +153,7 @@ def load_pose_network(filename: str, device=None) -> InferenceNetwork:
     return CheckpointPoseNetwork(filename)
 
 
-def _bucket_size(n: int, multiple: int = 64) -> int:
-    return int(math.ceil(n / multiple) * multiple)
+from neuralnet_tracker_traincode_tpu.utils import ceil_to_multiple as _bucket_size
 
 
 class Predictor:

@@ -124,8 +124,19 @@ def _loss_fingerprint(f) -> tuple:
     (type, sorted simple attrs); attributes that are not plain values (e.g. a
     GMM table) fall back to identity.
     """
+    import functools
+    import types
+
+    if isinstance(
+        f,
+        (types.FunctionType, types.BuiltinFunctionType, types.MethodType, functools.partial),
+    ):
+        # Functions/lambdas/methods/partials DO have a (usually empty)
+        # __dict__; fingerprinting them by attributes would collapse two
+        # different lambdas into one term. Identity semantics instead.
+        return (f,)
     d = getattr(f, "__dict__", None)
-    if d is None:  # plain function / partial: identity semantics
+    if d is None:
         return (f,)
     attrs = []
     for k, v in sorted(d.items()):

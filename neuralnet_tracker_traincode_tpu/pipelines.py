@@ -227,7 +227,7 @@ def probe_pad_size(datasets: Sequence, num_probe: int = 16, multiple: int = 64) 
             s = ds[int(i)]
             w, h = s.meta.image_wh
             maxdim = max(maxdim, w, h)
-    return int(np.ceil(maxdim / multiple) * multiple)
+    return utils.ceil_to_multiple(maxdim, multiple)
 
 
 def _train_host_transform(roi_override: str):
@@ -375,7 +375,14 @@ def make_pose_estimation_loaders(
         dataset_weight_by_index=(
             None if loss_weights is None else (lambda i: loss_weights[i])
         ),
-        num_workers=utils.num_workers() if num_workers is None else num_workers,
+        # Seeded runs default to ONE producer so the batch stream is
+        # deterministic; multi-worker composition depends on thread
+        # interleaving. Pass num_workers explicitly to trade that off.
+        num_workers=(
+            num_workers
+            if num_workers is not None
+            else (1 if seed is not None else utils.num_workers())
+        ),
     )
 
     _, test_set = make_aflw2k3d_datasets(transform=transform)

@@ -140,3 +140,9 @@ def enable_persistent_compile_cache(path: str = None) -> str:
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     return path
+
+
+def ceil_to_multiple(n: int, multiple: int = 64) -> int:
+    """Round up to a multiple (shared padding-bucket granularity for the
+    train loader, the eval predictor and the pad-size probe)."""
+    return int(-(-int(n) // multiple) * multiple)
