@@ -235,6 +235,10 @@ class Predictor:
         from neuralnet_tracker_traincode_tpu import utils
 
         for samples in utils.iter_batched(loader, chunksize):
+            # Shallow-copy: callers may iterate the same in-memory sample list
+            # multiple times (e.g. the stability analyses sweep crop factors);
+            # popping from the original would destroy their images.
+            samples = [s.copy() for s in samples]
             images = [np.asarray(s.pop("image")) for s in samples]
             batch = Batch.collate(samples)
             preds = self.predict_batch(images, np.asarray(batch["roi"]))

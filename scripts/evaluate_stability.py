@@ -39,6 +39,16 @@ from neuralnet_tracker_traincode_tpu.eval.predictor import Predictor, load_pose_
 # Blink frame intervals of the bundled "myself" video (developer recordings).
 BLINKS = [(90, 110), (570, 590), (1610, 1630), (2000, 2020)]
 
+# --max-samples: cap every analysis to the first N samples (smoke tests,
+# quick looks). None = full datasets.
+MAX_SAMPLES = None
+
+
+def _limit(loader):
+    if MAX_SAMPLES is None:
+        return loader
+    return list(itertools.islice(iter(loader), MAX_SAMPLES))
+
 
 def _find_models(path: str) -> List[str]:
     if isdir(path):
@@ -66,6 +76,13 @@ def convertlabels(labels: Dict[str, np.ndarray]) -> Poses:
 
 def report_blink_stability(poses_list: List[Poses], blinks=None):
     blinks = blinks or BLINKS
+    # Short sequences (tests, truncated recordings): keep only windows that
+    # fit; at least report nothing rather than index out of bounds.
+    n = min(len(p.hpb) for p in poses_list)
+    blinks = [(a, b) for a, b in blinks if b + 5 < n and a - 5 >= 0]
+    if not blinks:
+        print("\t (sequence too short for the blink windows)")
+        return
     xs = np.asarray([a for a, b in blinks] + [b for a, b in blinks], dtype=np.int64)
     lefts, rights = xs - 5, xs + 5
 
@@ -107,7 +124,7 @@ def closed_loop_tracking(predictor: Predictor, loader) -> Poses:
 
 
 def _track(paths, loader_name, tracking_fn, outdir):
-    loader = pipelines.make_validation_loader(loader_name)
+    loader = _limit(pipelines.make_validation_loader(loader_name))
     poses_by_path = defaultdict(list)
     for crop_size_factor in [1.0, 1.2]:
         fig, axes = pyplot.subplots(3, 1, figsize=(14, 8), sharex=True)
@@ -142,7 +159,7 @@ def main_closed_loop(paths, outdir):
 def _biwi_sections_loader():
     intervals = [(145, 216), (1360, 1464), (3030, 3120), (8020, 8100), (6570, 6600), (9030, 9080)]
     indices = np.concatenate([np.arange(a, b) for a, b in intervals])
-    loader = pipelines.make_validation_loader("biwi", order=indices)
+    loader = _limit(pipelines.make_validation_loader("biwi", order=indices))
     sequence_starts = np.cumsum([0] + [(b - a) for a, b in intervals])
     return loader, sequence_starts
 
@@ -161,7 +178,7 @@ def main_analyze_pitch_vs_yaw(paths, outdir):
             out[path] = poses._replace(hpb=poses.hpb * 180.0 / np.pi)
         return out
 
-    loader = pipelines.make_validation_loader("myself_yaw")
+    loader = _limit(pipelines.make_validation_loader("myself_yaw"))
     for name, poses in predict_all(loader).items():
         axes[0].scatter(poses.hpb[:, 0], poses.hpb[:, 1], label=name, s=5.0)
     axes[0].set(xlabel="yaw", ylabel="pitch")
@@ -185,7 +202,7 @@ def main_analyze_noise_resist(paths, outdir, noiselevels=(0.0, 2.0, 8.0, 16.0, 3
     for path in paths:
         for checkpoint in _find_models(path):
             predictor = Predictor(checkpoint, focus_roi_expansion_factor=1.2)
-            loader = pipelines.make_validation_loader("aflw2k3d", use_head_roi=True)
+            loader = _limit(pipelines.make_validation_loader("aflw2k3d", use_head_roi=True))
             samples = list(loader)
             for noiselevel in noiselevels:
                 metric = M.GeodesicError()
@@ -220,7 +237,7 @@ def main_analyze_uncertainty_error_correlation(paths, outdir):
     for path in paths:
         for checkpoint in _find_models(path):
             predictor = Predictor(checkpoint, focus_roi_expansion_factor=1.2)
-            loader = pipelines.make_validation_loader("aflw2k3d", use_head_roi=True)
+            loader = _limit(pipelines.make_validation_loader("aflw2k3d", use_head_roi=True))
             metric = M.MetricCollection(
                 {
                     "pose": M.GeodesicError(),
@@ -250,7 +267,7 @@ def main_analyze_stability_vs_variations(paths, outdir):
 
     from neuralnet_tracker_traincode_tpu.eval.alignment import compute_mean_rotation
 
-    loader = pipelines.make_validation_loader("replicantface-stability")
+    loader = _limit(pipelines.make_validation_loader("replicantface-stability"))
     fig, ax = pyplot.subplots(1, 1, figsize=(8, 8))
     for path in paths:
         for checkpoint in _find_models(path):
@@ -288,7 +305,8 @@ def main_analyze_stability_vs_variations(paths, outdir):
     print(f"saved {fn}")
 
 
-if __name__ == "__main__":
+def main(argv=None):
+    global MAX_SAMPLES
     np.seterr(all="raise")
     parser = argparse.ArgumentParser(description="Evaluates model stability")
     parser.add_argument(
@@ -300,7 +318,10 @@ if __name__ == "__main__":
     )
     parser.add_argument("filename", nargs="+", type=str)
     parser.add_argument("--outdir", default="/tmp/stability", type=str)
-    args = parser.parse_args()
+    parser.add_argument("--max-samples", type=int, default=None,
+                        help="cap every analysis to the first N samples")
+    args = parser.parse_args(argv)
+    MAX_SAMPLES = args.max_samples
     os.makedirs(args.outdir, exist_ok=True)
     dispatch = {
         "open-loop": main_open_loop,
@@ -311,3 +332,7 @@ if __name__ == "__main__":
         "variation-resist": main_analyze_stability_vs_variations,
     }
     dispatch[args.mode](args.filename, args.outdir)
+
+
+if __name__ == "__main__":
+    main()

@@ -103,3 +103,32 @@ def test_export_full_then_pseudolabel_cli(trained_ckpt, datadir, tmp_path, monke
         assert f["pt3d_68"].shape == (420, 68, 3)
         assert f["shapeparams"].shape == (420, 50)
         assert np.isfinite(f["pt3d_68"][...]).all()
+
+
+def test_stability_cli(trained_ckpt, datadir, tmp_path, monkeypatch):
+    """noise-resist + open-loop stability analyses run end to end (smoke)."""
+    monkeypatch.setenv("DATADIR", str(datadir))
+    if not (datadir / "myself.h5").exists():
+        write_pose_h5(str(datadir / "myself.h5"), 24)
+
+    import evaluate_stability
+
+    outdir = tmp_path / "stab"
+    outdir.mkdir()
+    old_err = np.seterr()  # main() sets all='raise' globally; restore after
+    try:
+        evaluate_stability.main([
+            "noise-resist", str(trained_ckpt), "--outdir", str(outdir),
+            "--max-samples", "16",
+        ])
+        assert (outdir / "noise_resist.pdf").exists()
+        assert (outdir / "noise_resist.pkl").exists()
+
+        evaluate_stability.main([
+            "open-loop", str(trained_ckpt), "--outdir", str(outdir),
+            "--max-samples", "12",
+        ])
+        assert (outdir / "tracking_crop1.0.pdf").exists()
+        assert (outdir / "tracking_crop1.2.pdf").exists()
+    finally:
+        np.seterr(**old_err)
