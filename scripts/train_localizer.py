@@ -26,6 +26,7 @@ def main():
     parser.add_argument("--outdir", type=str, default=join(dirname(__file__), "..", "model_files"))
     parser.add_argument("--pad-size", type=int, default=None)
     parser.add_argument("--no-imgaug", default=True, action="store_false", dest="with_image_aug")
+    parser.add_argument("--samples-per-epoch", default=10 * 1024, type=int)
     args = parser.parse_args()
 
     import jax
@@ -72,7 +73,7 @@ def main():
     )
     params, batch_stats = variables["params"], variables["batch_stats"]
 
-    steps_per_epoch = max(1, 10240 // args.batchsize)
+    steps_per_epoch = max(1, args.samples_per_epoch // args.batchsize)
     sched = exponential_up_then_steps(max(1, args.epochs // 10), 0.1, [args.epochs // 2])
     table = np.asarray([sched(e) for e in range(args.epochs)], np.float32)
     epoch_ids = np.arange(args.epochs)
@@ -115,13 +116,20 @@ def main():
         t0 = time.time()
         it = iter(loader)
         loss = None
+        # Losses stay on device during the epoch; one bulk pull at the end
+        # (per-step conversions block on host<->device round trips and
+        # serialize the pipeline — docs/PERFORMANCE.md item 5).
+        losses = []
+        step0 = step
         for _ in range(steps_per_epoch):
             batch = shard_batch(next(it), mesh)
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, batch, key, step
             )
-            console.add_train_point(epoch, step, "loss", loss)
+            losses.append(loss)
             step += 1
+        for i, v in enumerate(jax.device_get(losses)):
+            console.add_train_point(epoch, step0 + i, "loss", float(v))
         loss_val = float(loss)
         assert np.isfinite(loss_val), f"non-finite loss at epoch {epoch}"
         dt = time.time() - t0

@@ -132,3 +132,50 @@ def test_stability_cli(trained_ckpt, datadir, tmp_path, monkeypatch):
         assert (outdir / "tracking_crop1.2.pdf").exists()
     finally:
         np.seterr(**old_err)
+
+
+def _write_widerface_h5(path, n, seed=0):
+    import h5py
+
+    from neuralnet_tracker_traincode_tpu.data.fields import FieldCategory as C
+    from neuralnet_tracker_traincode_tpu.data.pose_dataset import create_pose_dataset
+
+    rng = np.random.RandomState(seed)
+    with h5py.File(path, "w") as f:
+        ds = create_pose_dataset(f, C.image, count=n)
+        for i in range(n):
+            ds[i] = (rng.rand(90, 120) * 255).astype(np.uint8)
+        rois = np.stack(
+            [np.full(n, 30.0), np.full(n, 20.0), np.full(n, 80.0), np.full(n, 70.0)],
+            axis=-1,
+        ).astype(np.float32)
+        create_pose_dataset(f, C.roi, count=n, dtype=np.float32, data=rois)
+        create_pose_dataset(
+            f, C.general, name="hasface", count=n, dtype="?",
+            data=(rng.rand(n) > 0.3),
+        )
+
+
+def test_localizer_train_then_evaluate_cli(datadir, tmp_path, monkeypatch):
+    """Localizer trainer + evaluator run end to end on synthetic WIDER crops."""
+    if not (datadir / "widerfacessingle.h5").exists():
+        _write_widerface_h5(str(datadir / "widerfacessingle.h5"), 532)
+    monkeypatch.setenv("DATADIR", str(datadir))
+
+    import train_localizer
+
+    outdir = tmp_path / "locrun"
+    monkeypatch.setattr(sys, "argv", [
+        "train_localizer.py", "--epochs", "1", "--batchsize", "16",
+        "--samples-per-epoch", "32", "--outdir", str(outdir), "--no-imgaug",
+    ])
+    train_localizer.main()
+    ckpt = outdir / "LocalizerNet" / "last.ckpt"
+    assert ckpt.exists()
+
+    import evaluate_localizer
+
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate_localizer.py", str(ckpt), "-n", "12", "--batchsize", "12",
+    ])
+    evaluate_localizer.main()
