@@ -169,7 +169,7 @@ def main():
     parser.add_argument("--enable-6drot", default=False, action="store_true")
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--pad-size", type=int, default=None)
-    parser.add_argument("--plot-save-filename", default=None)
+    parser.add_argument("--plot-save-filename", "--save-plot", default=None)
     parser.add_argument("--samples-per-epoch", default=10 * 1024, type=int)
     parser.add_argument(
         "--resume", default=None, type=str,

@@ -316,3 +316,68 @@ def test_posenet_onnx_efficientnet_b0(rng):
     np.testing.assert_allclose(out["quat"], np.asarray(ref["pose"]), atol=2e-4)
     np.testing.assert_allclose(out["pos_size"], np.asarray(ref["coord"]), atol=2e-4)
     np.testing.assert_allclose(out["box"], np.asarray(ref["roi"]), atol=2e-4)
+
+
+def test_onnx_rotation_math_emissions(rng):
+    """The on-graph quat<->matrix conversions must match ops.quaternion for
+    arbitrary rotations — including ones where from_matrix picks each of the
+    four candidate solutions (near-180-degree rotations about each axis)."""
+    from scipy.spatial.transform import Rotation
+
+    from neuralnet_tracker_traincode_tpu.export import onnx_proto as P
+    from neuralnet_tracker_traincode_tpu.ops import quaternion as Q
+
+    quats = Rotation.random(256, random_state=7).as_quat().astype(np.float32)
+    # Force all four candidate branches: rotations by ~179.9 deg about x/y/z
+    # (and identity) make the w/i/j/k diagonals the best-conditioned choices.
+    extremes = Rotation.from_rotvec(
+        np.asarray([
+            [np.pi * 0.9995, 0, 0], [0, np.pi * 0.9995, 0],
+            [0, 0, np.pi * 0.9995], [0, 0, 0],
+        ])
+    ).as_quat().astype(np.float32)
+    quats = np.concatenate([quats, extremes]).astype(np.float32)
+
+    g = onnx_export.GraphBuilder()
+    m = onnx_export._emit_quat_tomatrix(g, "q")
+    q2 = onnx_export._emit_from_matrix(g, m)
+    g.rename_output(m, "matrix")
+    g.rename_output(q2, "quat_roundtrip")
+    graph = P.graph_proto(
+        "rotmath", g.nodes,
+        [P.value_info_proto("q", P.FLOAT, ["batch", 4])],
+        [P.value_info_proto("matrix", P.FLOAT, ["batch", 3, 3]),
+         P.value_info_proto("quat_roundtrip", P.FLOAT, ["batch", 4])],
+        g.initializers,
+    )
+    blob = P.model_proto(graph, opset_version=13, model_version=4)
+    sess = onnx_run.NumpyOnnxSession(blob)
+    mats, rt = sess.run(None, {"q": quats})
+
+    ref_m = np.asarray(Q.tomatrix(jnp.asarray(quats)))
+    np.testing.assert_allclose(mats, ref_m, atol=1e-5)
+    ref_q = np.asarray(Q.from_matrix(jnp.asarray(ref_m)))
+    np.testing.assert_allclose(rt, ref_q, atol=1e-4)
+    # roundtrip = original up to sign (positivereal)
+    sign = np.sign(quats[:, 3:4])
+    sign[sign == 0] = 1.0
+    np.testing.assert_allclose(rt, quats * sign, atol=1e-3)
+
+    # 6d path roundtrip over the same rotations
+    g2 = onnx_export.GraphBuilder()
+    m6 = onnx_export._emit_6d_tomatrix(g2, "z6")
+    g2.rename_output(m6, "matrix")
+    graph2 = P.graph_proto(
+        "rot6d", g2.nodes,
+        [P.value_info_proto("z6", P.FLOAT, ["batch", 6])],
+        [P.value_info_proto("matrix", P.FLOAT, ["batch", 3, 3])],
+        g2.initializers,
+    )
+    from neuralnet_tracker_traincode_tpu.ops import rot6d
+
+    z6 = ref_m[:, :2, :].reshape(-1, 6) + rng.randn(len(quats), 6).astype(np.float32) * 0.01
+    (mats6,) = onnx_run.NumpyOnnxSession(
+        P.model_proto(graph2, opset_version=13, model_version=4)
+    ).run(None, {"z6": z6})
+    ref6 = np.asarray(rot6d.tomatrix(jnp.asarray(z6)))
+    np.testing.assert_allclose(mats6, ref6, atol=1e-5)
