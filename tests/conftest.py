@@ -22,6 +22,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is dominated by XLA:CPU compiles of the
+# same programs on every run; warm reruns skip them (same directory as
+# bench.py / the CLIs, keyed by HLO hash so CPU and TPU entries coexist).
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "jax")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np
 import pytest
 
