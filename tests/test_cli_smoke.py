@@ -179,3 +179,65 @@ def test_localizer_train_then_evaluate_cli(datadir, tmp_path, monkeypatch):
         "evaluate_localizer.py", str(ckpt), "-n", "12", "--batchsize", "12",
     ])
     evaluate_localizer.main()
+
+
+def test_multidataset_train_cli(datadir, tmp_path, monkeypatch):
+    """BASELINE config 4: multi-dataset training across three tags
+    (landmarks / 2.5D-landmarks / pose-only) with NLL heads through the real
+    CLI — exercises the masked multi-tag criterion on distinct label sets."""
+    for fn, seed in (("microsoft_synface_100000-v1.1.h5", 21), ("biwi-v3.h5", 22)):
+        if not (datadir / fn).exists():
+            write_pose_h5(str(datadir / fn), 96, seed=seed)
+    monkeypatch.setenv("DATADIR", str(datadir))
+
+    import train_poseestimator
+
+    outdir = tmp_path / "multirun"
+    monkeypatch.setattr(sys, "argv", [
+        "train_poseestimator.py", "--ds", "aflw2k+synface:8+biwi", "--epochs", "1",
+        "--batchsize", "16", "--samples-per-epoch", "48",
+        "--outdir", str(outdir), "--no-imgaug", "--with-nll-loss",
+    ])
+    train_poseestimator.main()
+    assert (outdir / "NetworkWithPointHead_mobilenetv1" / "best.ckpt").exists()
+
+
+def test_biwi_perspective_eval_cli(trained_ckpt, datadir, tmp_path, monkeypatch):
+    """BASELINE config 5 (eval leg): Biwi protocol — --roi-expansion 0.8 with
+    --perspective-correction — through the real CLI."""
+    if not (datadir / "biwi-v3.h5").exists():
+        write_pose_h5(str(datadir / "biwi-v3.h5"), 96, seed=22)
+    monkeypatch.setenv("DATADIR", str(datadir))
+
+    import evaluate_pose_network
+
+    json_out = str(tmp_path / "biwi.json")
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate_pose_network.py", str(trained_ckpt), "--ds", "biwi",
+        "--roi-expansion", "0.8", "--perspective-correction",
+        "--device", "cpu", "--json", json_out,
+    ])
+    evaluate_pose_network.main()
+    import json
+
+    (rows,) = json.load(open(json_out)).values()
+    assert np.isfinite(rows["Geodesic°"][0])
+
+
+def test_aflw2kmini_eval_cli(trained_ckpt, tmp_path, monkeypatch):
+    """BASELINE config 1: pose-net eval on the bundled aflw2kmini.h5 fixture
+    (direct .h5 path), checkpoint route."""
+    import evaluate_pose_network
+
+    json_out = str(tmp_path / "mini.json")
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate_pose_network.py", str(trained_ckpt),
+        "--ds", "/root/reference/aflw2kmini.h5",
+        "--device", "cpu", "--json", json_out,
+    ])
+    evaluate_pose_network.main()
+    import json
+
+    (rows,) = json.load(open(json_out)).values()
+    assert np.isfinite(rows["Geodesic°"][0])
+    assert np.isfinite(rows["NME3d%"][0])
