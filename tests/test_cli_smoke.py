@@ -6,6 +6,7 @@ this out as a gap the rebuild should close. Runs on the 8-virtual-device CPU
 mesh with a tiny synthetic aflw2k dataset.
 """
 
+import os
 import shutil
 import sys
 from os.path import dirname, join, realpath
@@ -227,6 +228,8 @@ def test_biwi_perspective_eval_cli(trained_ckpt, datadir, tmp_path, monkeypatch)
 def test_aflw2kmini_eval_cli(trained_ckpt, tmp_path, monkeypatch):
     """BASELINE config 1: pose-net eval on the bundled aflw2kmini.h5 fixture
     (direct .h5 path), checkpoint route."""
+    if not os.path.isfile("/root/reference/aflw2kmini.h5"):
+        pytest.skip("reference aflw2kmini.h5 fixture not mounted")
     import evaluate_pose_network
 
     json_out = str(tmp_path / "mini.json")
