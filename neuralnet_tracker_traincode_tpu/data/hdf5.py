@@ -349,11 +349,14 @@ class Hdf5DatasetBase:
     """
 
     def __init__(self, filename, monochrome=True, whitelist: Whitelist = None):
+        import threading
+
         self.monochrome = monochrome
         self.filename = filename
         self.whitelist = whitelist
         self._h5file = None
         self._names_datasets = None
+        self._open_lock = threading.Lock()
         with h5py.File(self.filename, "r") as f:
             self._init_from_file(f, whitelist)
 
@@ -379,9 +382,19 @@ class Hdf5DatasetBase:
                 ds.monochrome = self.monochrome
 
     def _ensure_h5opened(self):
-        if self._h5file is None:
-            self._h5file = h5py.File(self.filename, "r")
-            self._names_datasets = dict(open_all_datasets(self._h5file, self.whitelist))
+        # Multi-worker loaders hit the first access concurrently; the lazy
+        # open must be atomic or a second thread can observe _h5file set while
+        # _names_datasets is still None (flaked in CI). _names_datasets is
+        # assigned LAST, and the fast path only trusts it.
+        if self._names_datasets is not None:
+            return
+        with self._open_lock:
+            if self._names_datasets is not None:
+                return
+            h5file = h5py.File(self.filename, "r")
+            names_datasets = dict(open_all_datasets(h5file, self.whitelist))
+            self._h5file = h5file
+            self._names_datasets = names_datasets
             self._set_monochrome_flag_to_ds_wrappers()
 
     def _get_field(self, ds: MaybeWrappedH5Dataset, index: int):
@@ -422,4 +435,11 @@ class Hdf5DatasetBase:
         state = self.__dict__.copy()
         state["_h5file"] = None
         state["_names_datasets"] = None
+        state.pop("_open_lock", None)  # locks don't pickle
         return state
+
+    def __setstate__(self, state):
+        import threading
+
+        self.__dict__.update(state)
+        self._open_lock = threading.Lock()
