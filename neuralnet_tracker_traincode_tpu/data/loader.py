@@ -10,12 +10,12 @@ on the device mesh asynchronously. All augmentation happens on device.
 
 import queue
 import threading
-from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 
 from neuralnet_tracker_traincode_tpu.data.batch import Batch
-from neuralnet_tracker_traincode_tpu.data.fields import FieldCategory, Tag
+from neuralnet_tracker_traincode_tpu.data.fields import FieldCategory
 
 # Fused-batch label schema: every batch carries all fields; missing ones are
 # zero-filled and masked by the per-tag loss weights.

@@ -12,8 +12,7 @@ crop warp, forward pass and label backtransform run jitted on device.
 """
 
 from abc import ABCMeta, abstractmethod
-from functools import partial
-from typing import Dict, List, Optional, Union
+from typing import Dict, List, Union
 
 import jax
 import jax.numpy as jnp

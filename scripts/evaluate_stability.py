@@ -19,8 +19,8 @@ import os
 import pickle
 import sys
 from collections import defaultdict
-from os.path import dirname, isdir, isfile, join, realpath, splitext
-from typing import Callable, Dict, List, NamedTuple, Optional, Union
+from os.path import dirname, isdir, join, realpath
+from typing import Dict, List, NamedTuple
 
 import numpy as np
 
@@ -34,7 +34,7 @@ from matplotlib import pyplot
 from neuralnet_tracker_traincode_tpu import pipelines, utils
 from neuralnet_tracker_traincode_tpu.data.batch import Batch
 from neuralnet_tracker_traincode_tpu.eval import metrics as M
-from neuralnet_tracker_traincode_tpu.eval.predictor import Predictor, load_pose_network
+from neuralnet_tracker_traincode_tpu.eval.predictor import Predictor
 
 # Blink frame intervals of the bundled "myself" video (developer recordings).
 BLINKS = [(90, 110), (570, 590), (1610, 1630), (2000, 2020)]

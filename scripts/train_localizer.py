@@ -38,7 +38,7 @@ def main():
         LocalizerAugConfig,
         augment_batch_for_localizer,
     )
-    from neuralnet_tracker_traincode_tpu.data.loader import FusedBatchLoader, device_prefetch
+    from neuralnet_tracker_traincode_tpu.data.loader import FusedBatchLoader
     from neuralnet_tracker_traincode_tpu.data.fields import Tag
     from neuralnet_tracker_traincode_tpu.data.sampling import (
         ConcatDataset,
