@@ -291,6 +291,11 @@ def make_pose_estimation_loaders(
     ds_with_sizes = []
 
     def add(id_, ds, default_weight):
+        assert len(ds) > 0, (
+            f"dataset {id_} resolved to an EMPTY train split — check the file "
+            f"contents (e.g. aflw2k.h5 needs > 400 rows: the first 400 are the "
+            f"held-out test split)"
+        )
         train_sets.append(ds)
         tags.append(ds.dataset.dataclass if isinstance(ds, Subset) else ds.dataclass)
         weights.append(dataset_weights.get(id_, default_weight))

@@ -89,6 +89,12 @@ def cycle(iterable):
             yield next(iterator)
         except StopIteration:
             iterator = iter(iterable)
+            try:
+                yield next(iterator)
+            except StopIteration:
+                # An empty iterable would otherwise spin this loop forever
+                # (observed: an empty train split hanging the sampler).
+                raise ValueError("cycle() over an empty iterable")
 
 
 def replace_ext(filename, replacement):

@@ -186,3 +186,30 @@ def test_raw_jpeg_fast_path_matches_decoded(tmp_path):
     np.testing.assert_array_equal(dec["image"], raw["image"])
     for k in dec:
         np.testing.assert_array_equal(dec[k], raw[k])
+
+
+def test_seeded_loader_stream_is_deterministic(tmp_path, monkeypatch):
+    """make_pose_estimation_loaders(seed=N) must yield an identical batch
+    stream across constructions (seeded runs default to ONE producer; the
+    multi-worker default applies only to unseeded runs)."""
+    import neuralnet_tracker_traincode_tpu.pipelines as pipelines
+
+    d = tmp_path / "det_datadir"
+    d.mkdir()
+    write_pose_h5(str(d / "aflw2k.h5"), 640, seed=9)
+    monkeypatch.setenv("DATADIR", str(d))
+
+    def first_batches(n=3):
+        loader, _, _, _, _ = pipelines.make_pose_estimation_loaders(
+            inputsize=129, batchsize=8, datasets=[pipelines.Id.AFLW2k3d],
+            enable_image_aug=False, seed=777,
+        )
+        assert loader.num_workers == 1  # seeded => deterministic single producer
+        it = iter(loader)
+        return [next(it) for _ in range(n)]
+
+    a = first_batches()
+    b = first_batches()
+    for ba, bb in zip(a, b):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
