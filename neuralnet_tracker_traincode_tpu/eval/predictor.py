@@ -94,6 +94,7 @@ class OnnxPoseNetwork(InferenceNetwork):
     }
 
     def __init__(self, modelfile: str):
+        self._input_resolution = 129
         try:
             import onnxruntime
 
@@ -103,8 +104,11 @@ class OnnxPoseNetwork(InferenceNetwork):
             self.output_names = [
                 self.NAMEMAP.get(o.name, o.name) for o in self.session.get_outputs()
             ]
-            self._single_frame = isinstance(self.session.get_inputs()[0].shape[0], int)
+            in_shape = self.session.get_inputs()[0].shape
+            self._single_frame = isinstance(in_shape[0], int)
             self._legacy_coords = self.session.get_modelmeta().version not in (2, 3, 4)
+            if len(in_shape) == 4 and isinstance(in_shape[-1], int):
+                self._input_resolution = int(in_shape[-1])
         except ImportError:
             # Fall back to the bundled executors: JAX backend (runs the graph
             # on the accelerator, jit per shape), then pure numpy.
@@ -122,10 +126,16 @@ class OnnxPoseNetwork(InferenceNetwork):
             ]
             self._single_frame = False
             self._legacy_coords = self.session.model_version not in (2, 3, 4)
+            (dims,) = self.session.input_dims.values()
+            if len(dims) == 4 and dims[-1]:
+                self._input_resolution = int(dims[-1])
 
     @property
     def input_resolution(self) -> int:
-        return 129
+        # Parsed from the graph's input shape (the reference hardcodes 129
+        # with a TODO, `eval.py:105-107`); 129 is the fallback for graphs
+        # with fully symbolic shapes.
+        return self._input_resolution
 
     def __call__(self, images):
         # ONNX models take NCHW

@@ -41,6 +41,7 @@ class OnnxModel(NamedTuple):
     input_names: List[str]
     output_names: List[str]
     model_version: int
+    input_dims: Dict[str, List[Optional[int]]]  # symbolic dims -> None
 
 
 def _parse_tensor(data: bytes) -> (str, np.ndarray):
@@ -104,11 +105,28 @@ def _parse_node(data: bytes) -> Node:
     return Node(op_type, inputs, outputs, attrs)
 
 
-def _parse_value_info_name(data: bytes) -> str:
+def _parse_value_info(data: bytes):
+    """ValueInfoProto -> (name, dims); symbolic/absent dims parse as None."""
+    name, dims = "", []
     for field, wt, v in P.decode_raw(data):
         if field == 1:
-            return v.decode()
-    return ""
+            name = v.decode()
+        elif field == 2:  # TypeProto
+            for f2, _, v2 in P.decode_raw(v):
+                if f2 != 1:  # tensor_type
+                    continue
+                for f3, _, v3 in P.decode_raw(v2):
+                    if f3 != 2:  # shape
+                        continue
+                    for f4, _, v4 in P.decode_raw(v3):
+                        if f4 != 1:  # dim
+                            continue
+                        dim = None
+                        for f5, _, v5 in P.decode_raw(v4):
+                            if f5 == 1:  # dim_value
+                                dim = int(v5)
+                        dims.append(dim)
+    return name, dims
 
 
 def load_model(model_bytes: bytes) -> OnnxModel:
@@ -120,7 +138,7 @@ def load_model(model_bytes: bytes) -> OnnxModel:
         elif field == 5:
             model_version = v
     assert graph is not None, "no graph in model"
-    nodes, initializers, inputs, outputs = [], {}, [], []
+    nodes, initializers, inputs, outputs, input_dims = [], {}, [], [], {}
     for field, wt, v in P.decode_raw(graph):
         if field == 1:
             nodes.append(_parse_node(v))
@@ -128,10 +146,12 @@ def load_model(model_bytes: bytes) -> OnnxModel:
             name, arr = _parse_tensor(v)
             initializers[name] = arr
         elif field == 11:
-            inputs.append(_parse_value_info_name(v))
+            name, dims = _parse_value_info(v)
+            inputs.append(name)
+            input_dims[name] = dims
         elif field == 12:
-            outputs.append(_parse_value_info_name(v))
-    return OnnxModel(nodes, initializers, inputs, outputs, model_version)
+            outputs.append(_parse_value_info(v)[0])
+    return OnnxModel(nodes, initializers, inputs, outputs, model_version, input_dims)
 
 
 def _conv(x, w, b, strides, pads, group):
@@ -315,6 +335,10 @@ class NumpyOnnxSession:
     def model_version(self):
         return self.model.model_version
 
+    @property
+    def input_dims(self):
+        return self.model.input_dims
+
     def run(self, output_names, feeds):
         out = run(self.model, feeds)
         names = output_names or self.model.output_names
@@ -482,6 +506,10 @@ class JaxOnnxSession:
     @property
     def model_version(self):
         return self.model.model_version
+
+    @property
+    def input_dims(self):
+        return self.model.input_dims
 
     def run(self, output_names, feeds):
         out = self._fn(self._dev_inits, {k: np.asarray(v) for k, v in feeds.items()})
