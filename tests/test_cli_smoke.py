@@ -244,3 +244,24 @@ def test_aflw2kmini_eval_cli(trained_ckpt, tmp_path, monkeypatch):
     (rows,) = json.load(open(json_out)).values()
     assert np.isfinite(rows["Geodesic°"][0])
     assert np.isfinite(rows["NME3d%"][0])
+
+
+def test_export_quantized_cli(trained_ckpt, datadir, tmp_path, monkeypatch):
+    """--quantize: static int8 PTQ calibrated on real eval crops via the CLI."""
+    monkeypatch.setenv("DATADIR", str(datadir))
+
+    import export_model
+
+    onnx_out = str(tmp_path / "model_int8.onnx")
+    monkeypatch.setattr(sys, "argv", [
+        "export_model.py", str(trained_ckpt), "--output", onnx_out,
+        "--quantize", "--calib-samples", "32",
+    ])
+    export_model.main()
+
+    from neuralnet_tracker_traincode_tpu.export import onnx_run
+
+    model = onnx_run.load_model(open(onnx_out, "rb").read())
+    int8_weights = [v for v in model.initializers.values()
+                    if v.dtype == np.int8 and v.ndim == 4]
+    assert len(int8_weights) == 27  # every backbone conv quantized
