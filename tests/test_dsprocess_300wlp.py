@@ -1,0 +1,160 @@
+"""dsprocess_300wlp converter on a synthetic 300W-LP-style zip.
+
+Validates the full conversion chain of the PRIMARY training dataset: AFLW
+euler conversion, matlab y-flip, head-radius scaling, eye-center origin
+shift, 3DDFA shape-parameter rescaling, 3D landmark reconstruction,
+per-identity sequence grouping, and subset filtering — without the real
+(multi-GB) archive.
+"""
+
+import io
+import sys
+import zipfile
+from os.path import dirname, join, realpath
+
+import h5py
+import numpy as np
+import scipy.io
+
+sys.path.insert(0, join(dirname(realpath(__file__)), "..", "scripts"))
+
+import dsprocess_300wlp as dp
+
+from neuralnet_tracker_traincode_tpu.utils import aflw_rotation_conversion
+
+
+def _mat_bytes(d):
+    buf = io.BytesIO()
+    scipy.io.savemat(buf, d)
+    return buf.getvalue()
+
+
+def _make_zip(path):
+    import cv2
+
+    rng = np.random.RandomState(5)
+    img = (rng.rand(450, 450) * 255).astype(np.uint8)
+    _, jpg = cv2.imencode(".JPEG", img)
+
+    def annot(pitch, yaw, roll):
+        return _mat_bytes({
+            "Pose_Para": np.asarray(
+                [[pitch, yaw, roll, 220.0, 200.0, 0.0, 0.001]], np.float64
+            ),
+            "Shape_Para": rng.randn(199, 1) * 1e4,
+            "Exp_Para": rng.randn(29, 1) * 0.5,
+        })
+
+    lmk = _mat_bytes({"pts_2d": rng.rand(68, 2) * 450})
+    files = {
+        "300W_LP/AFW/AFW_134212_1_0.mat": annot(0.1, 0.2, -0.1),
+        "300W_LP/AFW/AFW_134212_1_1.mat": annot(0.1, 0.9, -0.1),
+        "300W_LP/HELEN/HELEN_7_0.mat": annot(-0.2, 0.0, 0.3),
+    }
+    with zipfile.ZipFile(path, "w") as zf:
+        for fn, blob in files.items():
+            zf.writestr(fn, blob)
+            zf.writestr(fn[:-4] + ".jpg", jpg.tobytes())
+            parts = fn.split("/")
+            zf.writestr(
+                "/".join(parts[:-2] + ["landmarks", parts[-2], parts[-1][:-4] + "_pts.mat"]),
+                lmk,
+            )
+    return path
+
+
+def test_300wlp_conversion_roundtrip(tmp_path):
+    src = _make_zip(str(tmp_path / "300wlp.zip"))
+    out = str(tmp_path / "300wlp.h5")
+    dp.generate_hdf5_dataset(src, out, count=None, subset="both", full_face_bounding_box=False)
+
+    with h5py.File(out, "r") as f:
+        assert f["images"].shape[0] == 3
+        # Grouped by identity: AFW_134212_1 has two rotated variants.
+        np.testing.assert_array_equal(f["sequence_starts"][...], [0, 2, 3])
+        quats = f["quats"][...]
+        coords = f["coords"][...]
+        np.testing.assert_allclose(np.linalg.norm(quats, axis=-1), 1.0, atol=1e-5)
+        assert f["pt3d_68"].shape == (3, 68, 3)
+        assert f["shapeparams"].shape == (3, 50)
+        assert f["shapeparams"].dtype == np.float16
+
+        # First sample: quaternion = AFLW euler conversion of (0.1, 0.2, -0.1).
+        expected_rot = aflw_rotation_conversion(0.1, 0.2, -0.1)
+        dot = abs(np.dot(quats[0], expected_rot.as_quat()))
+        assert dot > 0.9999, dot
+        # Head radius: 0.5 * scale / 224 * width * 1e5 = 100.4 px.
+        np.testing.assert_allclose(coords[0, 2], 100.446, atol=0.5)
+        # y was flipped from matlab convention (h - 200 = 250) then shifted by
+        # the eye-center offset (fraction of the head radius).
+        assert abs(coords[0, 1] - 250.0) < 0.5 * coords[0, 2]
+
+    # Subset filtering: 'original' keeps only the _0 variants.
+    out2 = str(tmp_path / "orig.h5")
+    dp.generate_hdf5_dataset(src, out2, count=None, subset="original",
+                             full_face_bounding_box=False)
+    with h5py.File(out2, "r") as f:
+        assert f["images"].shape[0] == 2
+        np.testing.assert_array_equal(f["sequence_starts"][...], [0, 1, 2])
+
+
+def test_300wlp_loads_through_pose_dataset(tmp_path):
+    from neuralnet_tracker_traincode_tpu.data.pose_dataset import Hdf5PoseDataset
+
+    src = _make_zip(str(tmp_path / "z.zip"))
+    out = str(tmp_path / "z.h5")
+    dp.generate_hdf5_dataset(src, out, count=None, subset="both", full_face_bounding_box=False)
+    ds = Hdf5PoseDataset(out)
+    s = ds[0]
+    assert s["image"].shape[:2] == (450, 450)
+    assert s["pose"].shape == (4,)
+    assert s["pt3d_68"].shape == (68, 3)
+    assert np.isfinite(np.asarray(s["roi"])).all()
+
+
+def test_aflw2k_conversion(tmp_path):
+    """dsprocess_aflw2k: GT 3D landmarks from the .mat (z flipped,
+    depth-centered), full-head bbox, no sequences."""
+    import cv2
+
+    import dsprocess_aflw2k as da
+
+    from neuralnet_tracker_traincode_tpu.data.preprocessing import compute_keypoints
+
+    rng = np.random.RandomState(6)
+    img = (rng.rand(450, 450) * 255).astype(np.uint8)
+    _, jpg = cv2.imencode(".JPEG", img)
+    rot = aflw_rotation_conversion(0.15, -0.3, 0.05)
+    # GT landmarks consistent with the pose (sanity-check tolerance is 0.4*radius).
+    radius = 0.5 * 0.001 / 224.0 * 450 * 1e5
+    raw_pt3d = compute_keypoints(
+        np.zeros(40), np.zeros(10), radius, rot, 220.0, 450.0 - 200.0
+    )
+    raw_pt3d = np.array(raw_pt3d)
+    raw_pt3d[2] *= -1  # converter flips z back
+
+    blob = _mat_bytes({
+        "Pose_Para": np.asarray([[0.15, -0.3, 0.05, 220.0, 200.0, 0.0, 0.001]], np.float64),
+        "Shape_Para": np.zeros((199, 1)),
+        "Exp_Para": np.zeros((29, 1)),
+        "pt3d_68": raw_pt3d,
+    })
+    src = str(tmp_path / "aflw.zip")
+    with zipfile.ZipFile(src, "w") as zf:
+        zf.writestr("AFLW2000/image00002.mat", blob)
+        zf.writestr("AFLW2000/image00002.jpg", jpg.tobytes())
+
+    out = str(tmp_path / "aflw.h5")
+    da.generate_hdf5_dataset(src, out)
+    with h5py.File(out, "r") as f:
+        assert f["images"].shape[0] == 1
+        quats = f["quats"][...]
+        np.testing.assert_allclose(
+            abs(np.dot(quats[0], rot.as_quat())), 1.0, atol=1e-5
+        )
+        pt3d = f["pt3d_68"][0]
+        assert pt3d.shape == (68, 3)
+        # Depth-centering: mean eye-corner z sits at zero.
+        eye_z = pt3d[[45, 42, 39, 36], 2].mean()
+        np.testing.assert_allclose(eye_z, 0.0, atol=1e-3)
+        assert "sequence_starts" not in f
