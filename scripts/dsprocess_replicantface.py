@@ -94,7 +94,8 @@ def roi_from_seg(mask_filename: Path):
         print(f"Warning: ROI fallback for {mask_filename}")
         fg = ~(_mask_for_class(seg, COLOR_CLOTHES) | _mask_for_class(seg, COLOR_BG))
         points = cv2.findNonZero(fg.astype(np.uint8))
-    bbox = roi_from_points(points[:, 0, :])
+    # cv2 < 5 returns (N, 1, 2); cv2 5.x returns (N, 2).
+    bbox = roi_from_points(np.asarray(points).reshape(-1, 2))
     bw, bh = bbox[2:] - bbox[:2]
     if (bw < 32 or bh < 32) or (bw > 2 * w // 3 or bh > 2 * h // 3):
         return np.zeros((4,), np.int64)

@@ -54,7 +54,8 @@ def roi_from_seg(zf, seg_filename) -> np.ndarray:
     if points is None:
         print(f"Warning: ROI fallback for {seg_filename}")
         points = cv2.findNonZero((seg != BACKGROUND).astype(np.uint8))
-    pts = points[:, 0, :]
+    # cv2 < 5 returns (N, 1, 2); cv2 5.x returns (N, 2).
+    pts = np.asarray(points).reshape(-1, 2)
     min_ = np.amin(pts, axis=0)
     max_ = np.amax(pts, axis=0)
     return np.concatenate([min_, max_]).astype(np.float32)

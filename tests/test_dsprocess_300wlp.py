@@ -158,3 +158,44 @@ def test_aflw2k_conversion(tmp_path):
         eye_z = pt3d[[45, 42, 39, 36], 2].mean()
         np.testing.assert_allclose(eye_z, 0.0, atol=1e-3)
         assert "sequence_starts" not in f
+
+
+def test_synface_conversion(tmp_path, monkeypatch):
+    """dsprocess_synface: 68-of-70 landmarks with zero z, roi from the
+    skin+nose segmentation, tiny faces filtered."""
+    import cv2
+
+    import dsprocess_synface as ds
+
+    rng = np.random.RandomState(8)
+
+    def png(arr):
+        _, buf = cv2.imencode(".PNG", arr)
+        return buf.tobytes()
+
+    img = (rng.rand(128, 128, 3) * 255).astype(np.uint8)
+    seg = np.zeros((128, 128), np.uint8)
+    seg[30:100, 25:95] = ds.SKIN  # 70x70 face -> kept
+    seg_small = np.zeros((128, 128), np.uint8)
+    seg_small[60:80, 60:80] = ds.SKIN  # 20x20 -> filtered out
+    lmk = "\n".join(f"{x:.2f} {y:.2f}" for x, y in rng.rand(70, 2) * 128)
+
+    src = str(tmp_path / "synface.zip")
+    with zipfile.ZipFile(src, "w") as zf:
+        zf.writestr("000000.png", png(img))
+        zf.writestr("000000_seg.png", png(seg))
+        zf.writestr("000000_ldmks.txt", lmk)
+        zf.writestr("000001.png", png(img))
+        zf.writestr("000001_seg.png", png(seg_small))
+        zf.writestr("000001_ldmks.txt", lmk)
+
+    out = str(tmp_path / "synface.h5")
+    monkeypatch.setattr(sys, "argv", ["dsprocess_synface.py", src, out])
+    ds.main()
+
+    with h5py.File(out, "r") as f:
+        assert f["images"].shape[0] == 1  # small face filtered
+        pts = f["pt3d_68"][...]
+        assert pts.shape == (1, 68, 3)
+        np.testing.assert_allclose(pts[..., 2], 0.0)  # z padded with zeros
+        np.testing.assert_allclose(f["rois"][0], [25, 30, 94, 99], atol=1.0)
