@@ -199,3 +199,47 @@ def test_synface_conversion(tmp_path, monkeypatch):
         assert pts.shape == (1, 68, 3)
         np.testing.assert_allclose(pts[..., 2], 0.0)  # z padded with zeros
         np.testing.assert_allclose(f["rois"][0], [25, 30, 94, 99], atol=1.0)
+
+
+def test_wflw_conversion(tmp_path):
+    """dsprocess_wflw: 98->68 landmark conversion, crop transform, splits."""
+    import cv2
+
+    import dsprocess_wflw as dw
+
+    # 98->68 conversion on index-coded points: x = index, y = 1000 + index.
+    lmk98 = np.stack([np.arange(98, dtype=np.float64),
+                      1000.0 + np.arange(98)], axis=0)  # (2, 98)
+    lmk68 = dw.cvt_landmarks_68pt(lmk98)
+    assert lmk68.shape == (68, 2)
+    np.testing.assert_allclose(lmk68[:17, 0], np.arange(0, 33, 2))  # chin subsample
+    np.testing.assert_allclose(lmk68[17, 0], 33)                    # brow corner
+    np.testing.assert_allclose(lmk68[18, 0], 0.5 * (34 + 41))       # brow pair avg
+    np.testing.assert_allclose(lmk68[27:36, 0], np.arange(51, 60))  # nose
+    np.testing.assert_allclose(lmk68[37, 0], 0.5 * (61 + 62))       # eye midpoint
+    np.testing.assert_allclose(lmk68[48:, 0], np.arange(76, 96))    # mouth
+
+    # End-to-end over a tiny source tree.
+    src = tmp_path / "wflw_src"
+    (src / "WFLW_annotations" / "list_98pt_rect_attr_train_test").mkdir(parents=True)
+    (src / "WFLW_images" / "0--sub").mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    cv2.imwrite(str(src / "WFLW_images" / "0--sub" / "a.png"),
+                (rng.rand(300, 300, 3) * 255).astype(np.uint8))
+    pts = (rng.rand(98, 2) * 100 + 100).ravel()
+    line = " ".join(f"{v:.3f}" for v in pts) + " 100 100 250 240 0 0 0 0 0 0 0--sub/a.png\n"
+    for split in ("train", "test"):
+        with open(src / "WFLW_annotations" / "list_98pt_rect_attr_train_test"
+                  / f"list_98pt_rect_attr_{split}.txt", "w") as f:
+            f.write(line)
+
+    dw.generate_hdf5_dataset(str(src), str(tmp_path), count=None)
+    for split in ("train", "test"):
+        with h5py.File(str(tmp_path / f"wflw_{split}.h5"), "r") as f:
+            assert f["images"].shape[0] == 1
+            assert f["pt2d_68"].shape == (1, 68, 2)
+            assert f["pt2d_68"].dtype == np.float16
+            # Crop offsets applied consistently: roi width is preserved
+            # (scale 1 for faces below the downscale threshold).
+            roi = f["rois"][0].astype(np.float64)
+            np.testing.assert_allclose(roi[2] - roi[0], 150.0, atol=0.5)
