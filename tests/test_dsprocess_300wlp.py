@@ -243,3 +243,86 @@ def test_wflw_conversion(tmp_path):
             # (scale 1 for faces below the downscale threshold).
             roi = f["rois"][0].astype(np.float64)
             np.testing.assert_allclose(roi[2] - roi[0], 150.0, atol=0.5)
+
+
+def test_lapa_conversion(tmp_path):
+    """dsprocess_lapa: 106->68 conversion (quadratic chin re-interp), megaface
+    name filter, landmark-roi crops."""
+    import cv2
+
+    import dsprocess_lapa as dl
+
+    rng = np.random.RandomState(12)
+    src = tmp_path / "lapa_src"
+    (src / "train" / "images").mkdir(parents=True)
+    (src / "train" / "landmarks").mkdir(parents=True)
+    img = (rng.rand(280, 280, 3) * 255).astype(np.uint8)
+    lmk106 = rng.rand(106, 2) * 160 + 60
+    for name in ("12345", "notmegafacename"):
+        cv2.imwrite(str(src / "train" / "images" / f"{name}.jpg"), img)
+        with open(src / "train" / "landmarks" / f"{name}.txt", "w") as f:
+            f.write("106\n" + "\n".join(f"{x:.3f} {y:.3f}" for x, y in lmk106))
+
+    out = str(tmp_path / "lapa.h5")
+    with h5py.File(out, "w") as f:
+        dl.do_conversion(str(src), f, None, only_megaface=True, refiner=None)
+    with h5py.File(out, "r") as f:
+        assert f["images"].shape[0] == 1  # non-numeric name filtered out
+        pts = f["pt2d_68"][...]
+        assert pts.shape == (1, 68, 2) and pts.dtype == np.float16
+
+    # Conversion semantics on index-coded landmarks (straight-line chin, so the
+    # quadratic re-interpolation is exact).
+    coded = np.stack([np.arange(106, dtype=np.float64),
+                      np.arange(106, dtype=np.float64)], axis=-1)
+    out68 = dl.cvt_landmarks_68pt(coded)
+    np.testing.assert_allclose(out68[0, 0], 1.5, atol=1e-6)   # clipped chin start
+    np.testing.assert_allclose(out68[16, 0], 30.5, atol=1e-6)  # clipped chin end
+    np.testing.assert_allclose(out68[17, 0], 33)               # brow corner
+    np.testing.assert_allclose(out68[48:, 0], np.arange(84, 104))  # mouth
+
+
+def test_widerface_conversion(tmp_path):
+    """dsprocess_widerface: single-face filtering, face + background crops,
+    hasface flags (localizer training data)."""
+    import cv2
+
+    import dsprocess_widerface as dwf
+
+    rng = np.random.RandomState(4)
+
+    def jpg(arr):
+        _, buf = cv2.imencode(".JPEG", arr)
+        return buf.tobytes()
+
+    img = (rng.rand(360, 480, 3) * 255).astype(np.uint8)
+    annot = {
+        "train": (
+            "0--a/one.jpg\n1\n100 80 120 140 0 0 0 0 0 0\n"      # single face -> used
+            "0--a/two.jpg\n2\n10 10 50 50 0 0 0 0 0 0\n200 40 60 70 0 0 0 0 0 0\n"  # filtered
+        ),
+        "val": "1--b/v.jpg\n1\n150 60 100 120 0 0 0 0 0 0\n",
+    }
+    with zipfile.ZipFile(str(tmp_path / "wider_face_split.zip"), "w") as zf:
+        zf.writestr("wider_face_split/wider_face_train_bbx_gt.txt", annot["train"])
+        zf.writestr("wider_face_split/wider_face_val_bbx_gt.txt", annot["val"])
+    with zipfile.ZipFile(str(tmp_path / "WIDER_train.zip"), "w") as zf:
+        zf.writestr("WIDER_train/images/0--a/one.jpg", jpg(img))
+        zf.writestr("WIDER_train/images/0--a/two.jpg", jpg(img))
+    with zipfile.ZipFile(str(tmp_path / "WIDER_val.zip"), "w") as zf:
+        zf.writestr("WIDER_val/images/1--b/v.jpg", jpg(img))
+
+    out = str(tmp_path / "widerfacessingle.h5")
+    dwf.generate_hdf5_dataset(str(tmp_path), out, count=None, maxsize=640)
+
+    with h5py.File(out, "r") as f:
+        # 2 single-face images (1 train + 1 val) x (face crop + background crop)
+        assert f["images"].shape[0] == 4
+        hasface = f["hasface"][...]
+        assert hasface.sum() == 2 and (~hasface).sum() == 2
+        rois = f["rois"][...]
+        assert np.isfinite(rois).all()
+        # Face rois sit inside their crops with the annotated extents.
+        for i in range(4):
+            x0, y0, x1, y1 = rois[i]
+            assert x1 > x0 and y1 > y0
