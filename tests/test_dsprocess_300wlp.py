@@ -326,3 +326,56 @@ def test_widerface_conversion(tmp_path):
         for i in range(4):
             x0, y0, x1, y1 = rois[i]
             assert x1 > x0 and y1 > y0
+
+
+def test_biwi_conversion_with_opal_annotations(tmp_path):
+    """dsprocess_biwi: camera-extrinsics chain, pinhole projection of the head
+    center/size, opal23 annotation boxes, per-video sequence_starts."""
+    import cv2
+
+    import dsprocess_biwi as db
+
+    rng = np.random.RandomState(13)
+
+    def png(arr):
+        _, buf = cv2.imencode(".PNG", arr)
+        return buf.tobytes()
+
+    img = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    pose_txt = "1 0 0\n0 1 0\n0 0 1\n\n50 -20 1000 \n"
+    cal_txt = "\n" * 6 + "1 0 0\n0 1 0\n0 0 1\n\n0 0 0 \n"
+
+    src = str(tmp_path / "biwi.zip")
+    with zipfile.ZipFile(src, "w") as zf:
+        for frame in ("00003", "00004"):
+            zf.writestr(f"faces_0/01/frame_{frame}_rgb.png", png(img))
+            zf.writestr(f"faces_0/01/frame_{frame}_pose.txt", pose_txt)
+        zf.writestr("faces_0/01/rgb.cal", cal_txt)
+
+    # opal23-style annotation: the header's FIRST token is a stray index name
+    # (the converter shifts column names left by one, dsprocess_biwi.py).
+    ann = str(tmp_path / "biwi_ann.txt")
+    with open(ann, "w") as f:
+        f.write("idx;image;tl_x;tl_y;br_x;br_y\n")
+        for frame in ("00003", "00004"):
+            f.write(f"kinect_head_pose_db/01/frame_{frame}_rgb.png;200;150;400;370;\n")
+
+    out = str(tmp_path / "biwi.h5")
+    db.generate_hdf5_dataset(src, out, opal_annotation=ann, localizer=None)
+
+    with h5py.File(out, "r") as f:
+        assert f["images"].shape[0] == 2
+        np.testing.assert_array_equal(f["sequence_starts"][...], [0, 2])
+        np.testing.assert_allclose(f["rois"][0], [200, 150, 400, 370])
+        coords = f["coords"][...]
+        # Pinhole projection of (50, -20, 1000) with fov 65, 640x480:
+        fproj = 1.0 / np.tan(np.deg2rad(65) * 0.5)
+        ex = (fproj * 50 / 1000 + 1) * 0.5 * 640
+        ey = (fproj * (-20) / 1000 * (640 / 480) + 1) * 0.5 * 480
+        size = 640 * fproj * 100.0 / 1000 * 0.5
+        np.testing.assert_allclose(coords[0, 2], size, rtol=1e-5)
+        # Head-center offset displaces xy by a rotation-dependent fraction of size.
+        assert abs(coords[0, 0] - ex) < 0.5 * size
+        assert abs(coords[0, 1] - ey) < 0.5 * size
+        # Identity pose through identity extrinsics -> identity quaternion.
+        np.testing.assert_allclose(abs(f["quats"][0][3]), 1.0, atol=1e-6)
