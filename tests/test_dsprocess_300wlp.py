@@ -379,3 +379,54 @@ def test_biwi_conversion_with_opal_annotations(tmp_path):
         assert abs(coords[0, 1] - ey) < 0.5 * size
         # Identity pose through identity extrinsics -> identity quaternion.
         np.testing.assert_allclose(abs(f["quats"][0][3]), 1.0, atol=1e-6)
+
+
+def test_300vw_conversion(tmp_path):
+    """dsprocess_300vw: per-frame .pts annotations + .avi decode, grayscale
+    crops around the across-frames roi, sequence_starts per video."""
+    import cv2
+
+    import dsprocess_300vw as dv
+
+    rng = np.random.RandomState(14)
+    # Write a 2-frame avi.
+    avi_path = str(tmp_path / "vid.avi")
+    vw = cv2.VideoWriter(avi_path, cv2.VideoWriter_fourcc(*"MJPG"), 25.0, (320, 240))
+    if not vw.isOpened():
+        import pytest
+
+        pytest.skip("cv2 VideoWriter lacks MJPG support")
+    frames = [(rng.rand(240, 320, 3) * 255).astype(np.uint8) for _ in range(2)]
+    for fr in frames:
+        vw.write(fr)
+    vw.release()
+
+    def pts(points):
+        body = "\n".join(f"{x:.3f} {y:.3f}" for x, y in points)
+        return f"version: 1\nn_points: 68\n{{\n{body}\n}}\n"
+
+    lmks = rng.rand(2, 68, 2) * 100 + 80
+    src = str(tmp_path / "300vw.zip")
+    with zipfile.ZipFile(src, "w") as zf:
+        zf.write(avi_path, "300VW_Dataset/007/vid.avi")
+        for i in range(2):
+            zf.writestr(f"300VW_Dataset/007/annot/{i + 1:06d}.pts", pts(lmks[i]))
+
+    out = str(tmp_path / "300vw.h5")
+    with zipfile.ZipFile(src) as zf, h5py.File(out, "w") as f:
+        infos = dv.discover_items(zf)
+        assert set(infos) == {"007"}
+        dv.do_conversion(zf, list(infos.values()), f, refiner=None)
+
+    with h5py.File(out, "r") as f:
+        assert f["images"].shape[0] == 2
+        np.testing.assert_array_equal(f["sequence_starts"][...], [0, 2])
+        assert f["pt2d_68"].shape == (2, 68, 2)
+        # Landmarks stay inside the stored crop.
+        from neuralnet_tracker_traincode_tpu.data.preprocessing import imdecode
+
+        img = imdecode(f["images"][0].tobytes())
+        pts_ = f["pt2d_68"][0].astype(np.float64)
+        assert (pts_ >= -1).all()
+        assert (pts_[:, 0] <= img.shape[1] + 1).all()
+        assert (pts_[:, 1] <= img.shape[0] + 1).all()
