@@ -430,3 +430,57 @@ def test_300vw_conversion(tmp_path):
         assert (pts_ >= -1).all()
         assert (pts_[:, 0] <= img.shape[1] + 1).all()
         assert (pts_[:, 1] <= img.shape[0] + 1).all()
+
+
+def test_replicantface_conversion(tmp_path, monkeypatch):
+    """dsprocess_replicantface: modelview/projection pose extraction, mesh
+    landmark subsets, seg-roi + brightness validity filtering."""
+    import cv2
+
+    import dsprocess_replicantface as dr
+
+    rng = np.random.RandomState(15)
+    src = tmp_path / "repl_src"
+    src.mkdir()
+
+    # Vertex-index bookkeeping: 100-vertex head, 68 landmark ids, 32 face ids.
+    np.savez(src / "head_indices.npz", indices=np.arange(100))
+    np.savez(src / "landmark_indices.npz", indices=np.arange(68))
+    np.savez(src / "face_indices.npz", indices=np.arange(68, 100))
+
+    f = 2.0  # focal
+    projection = np.array([
+        [f, 0, 0, 0], [0, f, 0, 0], [0, 0, 1.0, 0], [0, 0, 1.0, 0],
+    ])
+    # Blender-style modelview: head 2 m in front of the camera (view-space -z).
+    modelview = np.eye(4)
+    modelview[2, 3] = -2.0
+    vertices = (rng.rand(100, 3) * 0.2 - 0.1).astype(np.float64)
+
+    img = (rng.rand(256, 256, 3) * 200 + 40).astype(np.uint8)  # bright enough
+    mask = np.zeros((256, 256, 3), np.uint8)
+    mask[60:200, 70:210] = dr.COLOR_FACE
+
+    for i, name in enumerate(["face_0", "face_1"]):
+        np.savez(
+            src / f"{name}.npz", modelview=modelview, projection=projection,
+            vertices=vertices, resolution=np.asarray(256.0),
+        )
+        cv2.imwrite(str(src / f"{name}_img.jpg"),
+                    img if i == 0 else np.zeros_like(img))  # face_1: too dark
+        cv2.imwrite(str(src / f"{name}_mask.png"), mask)
+
+    out = str(tmp_path / "repl.h5")
+    monkeypatch.setattr(sys, "argv", ["dsprocess_replicantface.py", str(src), out])
+    dr.main()
+
+    with h5py.File(out, "r") as fh:
+        assert fh["images"].shape[0] == 1  # dark render filtered out
+        quat = fh["quats"][0]
+        # Identity modelview (translation only) -> identity rotation.
+        np.testing.assert_allclose(abs(quat[3]), 1.0, atol=1e-6)
+        coords = fh["coords"][0]
+        # Weak-perspective size: 0.1 m * f / depth * 256 * 0.5; the eye-center
+        # offset (-0.086 z in headbone frame) brings depth to 2 - 0.086 m.
+        np.testing.assert_allclose(coords[2], 0.1 * f / (2.0 - 0.086) * 256 * 0.5, rtol=0.02)
+        assert fh["pt3d_68"].shape == (1, 68, 3)
