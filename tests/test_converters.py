@@ -1,4 +1,4 @@
-"""dsprocess_300wlp converter on a synthetic 300W-LP-style zip.
+"""Dataset converters on synthetic source fixtures (zips/dirs built in-test).
 
 Validates the full conversion chain of the PRIMARY training dataset: AFLW
 euler conversion, matlab y-flip, head-radius scaling, eye-center origin
