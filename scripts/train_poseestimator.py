@@ -315,9 +315,9 @@ def main():
         plotter.update_graph()
         console.update_graph()
         print(
-            f"epoch {epoch + 1}/{args.epochs}: {ips:.0f} img/s (device-path "
-            f"{meter.per_chip():.0f} img/s/chip), val_loss {val_loss:.4f}"
-            f" (best {best_val:.4f})"
+            f"epoch {epoch + 1}/{args.epochs}: {ips:.0f} img/s (sustained "
+            f"{meter.per_chip():.0f} img/s/chip incl. validation), "
+            f"val_loss {val_loss:.4f} (best {best_val:.4f})"
         )
     if cfg.swa_start_epoch is not None:
         trainer.save_checkpoint(state, join(model_out_dir, "swa.ckpt"), swa=True)
