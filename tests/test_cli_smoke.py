@@ -265,3 +265,30 @@ def test_export_quantized_cli(trained_ckpt, datadir, tmp_path, monkeypatch):
     int8_weights = [v for v in model.initializers.values()
                     if v.dtype == np.int8 and v.ndim == 4]
     assert len(int8_weights) == 27  # every backbone conv quantized
+
+
+def test_viewer_clis(datadir, tmp_path, monkeypatch):
+    """show_train_test_splits (augmented-sample pager, headless PNG dump) and
+    show_face_model (basis-vector sheet) run end to end."""
+    monkeypatch.setenv("DATADIR", str(datadir))
+    monkeypatch.setenv("MPLBACKEND", "Agg")
+
+    import show_train_test_splits
+
+    outdir = tmp_path / "pages"
+    outdir.mkdir()
+    monkeypatch.setattr(sys, "argv", [
+        "show_train_test_splits.py", "--ds", "aflw2k", "--batchsize", "8",
+        "--outdir", str(outdir), "--no-imgaug",
+    ])
+    show_train_test_splits.main()
+    pngs = list(outdir.glob("*.png"))
+    assert pngs, "no pages written"
+    assert pngs[0].stat().st_size > 1000
+
+    import show_face_model
+
+    pdf = str(tmp_path / "face_model.pdf")
+    monkeypatch.setattr(sys, "argv", ["show_face_model.py", "--out", pdf])
+    show_face_model.main()
+    assert (tmp_path / "face_model.pdf").stat().st_size > 1000
