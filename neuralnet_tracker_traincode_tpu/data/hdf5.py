@@ -376,8 +376,9 @@ class Hdf5DatasetBase:
     def __len__(self):
         return self.frame_count
 
-    def _set_monochrome_flag_to_ds_wrappers(self):
-        for _, ds in self._names_datasets.items():
+    def _set_monochrome_flag_to_ds_wrappers(self, names_datasets=None):
+        items = (names_datasets if names_datasets is not None else self._names_datasets).values()
+        for ds in items:
             if isinstance(ds, ImageDs):
                 ds.monochrome = self.monochrome
 
@@ -393,9 +394,11 @@ class Hdf5DatasetBase:
                 return
             h5file = h5py.File(self.filename, "r")
             names_datasets = dict(open_all_datasets(h5file, self.whitelist))
+            # Fully configure the wrappers BEFORE publishing: the lock-free
+            # fast path trusts _names_datasets as the ready signal.
+            self._set_monochrome_flag_to_ds_wrappers(names_datasets)
             self._h5file = h5file
             self._names_datasets = names_datasets
-            self._set_monochrome_flag_to_ds_wrappers()
 
     def _get_field(self, ds: MaybeWrappedH5Dataset, index: int):
         return np.asarray(ds[index])
@@ -425,11 +428,12 @@ class Hdf5DatasetBase:
         return out
 
     def close(self):
-        assert (self._h5file is None) == (self._names_datasets is None)
-        if self._h5file is not None:
-            self._h5file.close()
-            self._h5file = None
-            self._names_datasets = None
+        with self._open_lock:  # serialize against a concurrent lazy open
+            assert (self._h5file is None) == (self._names_datasets is None)
+            if self._h5file is not None:
+                self._h5file.close()
+                self._h5file = None
+                self._names_datasets = None
 
     def __getstate__(self):
         state = self.__dict__.copy()

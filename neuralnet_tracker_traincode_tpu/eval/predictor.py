@@ -105,9 +105,12 @@ class OnnxPoseNetwork(InferenceNetwork):
                 self.NAMEMAP.get(o.name, o.name) for o in self.session.get_outputs()
             ]
             in_shape = self.session.get_inputs()[0].shape
-            self._single_frame = isinstance(in_shape[0], int)
+            self._single_frame = isinstance(in_shape[0], int) and in_shape[0] > 0
             self._legacy_coords = self.session.get_modelmeta().version not in (2, 3, 4)
-            if len(in_shape) == 4 and isinstance(in_shape[-1], int):
+            # onnxruntime reports explicit dynamic dims as -1; keep the 129
+            # fallback for anything non-positive or implausible.
+            if (len(in_shape) == 4 and isinstance(in_shape[-1], int)
+                    and 0 < in_shape[-1] < 10_000):
                 self._input_resolution = int(in_shape[-1])
         except ImportError:
             # Fall back to the bundled executors: JAX backend (runs the graph
@@ -126,8 +129,13 @@ class OnnxPoseNetwork(InferenceNetwork):
             ]
             self._single_frame = False
             self._legacy_coords = self.session.model_version not in (2, 3, 4)
-            (dims,) = self.session.input_dims.values()
-            if len(dims) == 4 and dims[-1]:
+            # Legacy exports may list initializers among graph.inputs; the
+            # real data input is the first entry. Dynamic dims parse as None
+            # (and a raw dim_value of -1 decodes as a huge unsigned varint) —
+            # keep the 129 fallback for anything implausible.
+            dims = next(iter(self.session.input_dims.values()), None)
+            if (dims is not None and len(dims) == 4 and dims[-1]
+                    and 0 < dims[-1] < 10_000):
                 self._input_resolution = int(dims[-1])
 
     @property

@@ -158,8 +158,20 @@ def main_closed_loop(paths, outdir):
 
 def _biwi_sections_loader():
     intervals = [(145, 216), (1360, 1464), (3030, 3120), (8020, 8100), (6570, 6600), (9030, 9080)]
+    if MAX_SAMPLES is not None:
+        # Truncate the INTERVAL list so sequence_starts stays consistent with
+        # the limited frame stream (a plain _limit would desynchronize the
+        # per-section slicing).
+        left, kept = MAX_SAMPLES, []
+        for a, b in intervals:
+            n = min(b - a, left)
+            if n <= 0:
+                break
+            kept.append((a, a + n))
+            left -= n
+        intervals = kept
     indices = np.concatenate([np.arange(a, b) for a, b in intervals])
-    loader = _limit(pipelines.make_validation_loader("biwi", order=indices))
+    loader = pipelines.make_validation_loader("biwi", order=indices)
     sequence_starts = np.cumsum([0] + [(b - a) for a, b in intervals])
     return loader, sequence_starts
 
