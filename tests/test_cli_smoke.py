@@ -131,6 +131,18 @@ def test_stability_cli(trained_ckpt, datadir, tmp_path, monkeypatch):
         ])
         assert (outdir / "tracking_crop1.0.pdf").exists()
         assert (outdir / "tracking_crop1.2.pdf").exists()
+
+        # pitch-yaw needs the yaw video + a Biwi file; --max-samples must keep
+        # the per-section slicing consistent (it truncates the interval list).
+        if not (datadir / "myself-yaw.h5").exists():
+            write_pose_h5(str(datadir / "myself-yaw.h5"), 16, seed=23)
+        if not (datadir / "biwi-v3.h5").exists():
+            write_pose_h5(str(datadir / "biwi-v3.h5"), 200, seed=22)
+        evaluate_stability.main([
+            "pitch-yaw", str(trained_ckpt), "--outdir", str(outdir),
+            "--max-samples", "12",
+        ])
+        assert (outdir / "pitch_vs_yaw.pdf").exists()
     finally:
         np.seterr(**old_err)
 
