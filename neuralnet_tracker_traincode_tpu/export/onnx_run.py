@@ -346,7 +346,14 @@ class NumpyOnnxSession:
 
 
 def _jax_exec(model: OnnxModel, inits, feeds):
-    """Trace the decoded graph with jnp/lax (called under jax.jit)."""
+    """Trace the decoded graph with jnp/lax (called under jax.jit).
+
+    All contractions run at float32 precision: ONNX semantics are exact f32
+    (onnxruntime), and the TPU's default bf16 matmul precision is enough to
+    flip threshold branches baked into exported graphs — measured: the 6d
+    rotation head's orthonormality fallback (|M M^T - I| > 1e-3) triggered on
+    bf16 noise and silently replaced trained rotations with identity.
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -495,7 +502,8 @@ class JaxOnnxSession:
         }
 
         def fn(dev_inits, feeds):
-            return _jax_exec(self.model, {**self._host_inits, **dev_inits}, feeds)
+            with jax.default_matmul_precision("float32"):
+                return _jax_exec(self.model, {**self._host_inits, **dev_inits}, feeds)
 
         self._fn = jax.jit(fn)
 
