@@ -261,7 +261,17 @@ def main():
         "--vis-outdir", default=None, type=str,
         help="Save worst-case overlays here instead of an interactive window",
     )
-    run(parser.parse_args())
+    parser.add_argument(
+        "--precision", default="float32", choices=["float32", "bfloat16"],
+        help="matmul/conv precision for evaluation forwards; float32 matches "
+             "the reference's torch-f32 eval semantics (the TPU default would "
+             "be bfloat16); bfloat16 trades exactness for speed",
+    )
+    args = parser.parse_args()
+    import jax
+
+    with jax.default_matmul_precision(args.precision):
+        run(args)
 
 
 if __name__ == "__main__":
