@@ -351,6 +351,43 @@ class MetricCollection(nn.Module):
 # ---------------------------------------------------------------- install ---
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def patched_reference_bfm():
+    """Fill the reference's DeformableHeadKeypoints buffers from our derived
+    68-keypoint BFM subset.
+
+    The reference's `bfm_noneck_v3.pkl` blob is git-LFS-missing in-image
+    (`/root/reference/.MISSING_LARGE_BLOBS:2`), so the reference module cannot
+    construct its keypoint model itself; the subset carries exactly the rows
+    the reference would compute in `modelcomponents.py:59-68`.
+    """
+    import numpy as np
+    import trackertraincode.neuralnets.modelcomponents as ref_mc
+
+    from neuralnet_tracker_traincode_tpu.facemodel.bfm import BFMModel
+
+    sub = BFMModel()
+    orig = ref_mc.DeformableHeadKeypoints.__init__
+
+    def patched(self, num_shape=40, num_expr=10):
+        nn.Module.__init__(self)
+        self.num_shape, self.num_expr = num_shape, num_expr
+        self.num_eigvecs = num_shape + num_expr
+        self.register_buffer("keypts", torch.from_numpy(np.asarray(sub.keypts)))
+        self.register_buffer(
+            "keyeigvecs", torch.from_numpy(np.asarray(sub.scaled_bases[: self.num_eigvecs]))
+        )
+
+    ref_mc.DeformableHeadKeypoints.__init__ = patched
+    try:
+        yield
+    finally:
+        ref_mc.DeformableHeadKeypoints.__init__ = orig
+
+
 def _module(name: str) -> types.ModuleType:
     mod = types.ModuleType(name)
     sys.modules[name] = mod
@@ -391,6 +428,19 @@ def install() -> None:
         # transforms.functional: crop/resize used by the reference torch warp path.
         tvt = _module("torchvision.transforms")
         tv.transforms = tvt
+
+        class Compose:
+            """torchvision.transforms.Compose public semantics."""
+
+            def __init__(self, transforms):
+                self.transforms = list(transforms)
+
+            def __call__(self, x):
+                for t in self.transforms:
+                    x = t(x)
+                return x
+
+        tvt.Compose = Compose
         tvf = _module("torchvision.transforms.functional")
         tvf.crop = tv_crop
         tvf.resize = tv_resize
