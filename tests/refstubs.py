@@ -446,6 +446,38 @@ def install() -> None:
         tvf.resize = tv_resize
         tvt.functional = tvf
 
+    if "pytorch_lightning" not in sys.modules:
+        # Import-only stand-in so `trackertraincode.train` and the reference
+        # training script can be imported for loss/criterion parity tests.
+        # Nothing here runs a Lightning loop.
+        pl = _module("pytorch_lightning")
+
+        class LightningModule(nn.Module):
+            def log(self, *a, **k):
+                pass
+
+            current_epoch = 0
+
+        class Callback:
+            pass
+
+        class Trainer:
+            def __init__(self, *a, **k):
+                raise NotImplementedError("pytorch_lightning Trainer is not stubbed")
+
+        pl.LightningModule = LightningModule
+        pl.Callback = Callback
+        pl.Trainer = Trainer
+        cbs = _module("pytorch_lightning.callbacks")
+        cbs.Callback = Callback
+
+        class ModelCheckpoint(Callback):
+            def __init__(self, *a, **k):
+                pass
+
+        cbs.ModelCheckpoint = ModelCheckpoint
+        pl.callbacks = cbs
+
     if "torchmetrics" not in sys.modules:
         tm = _module("torchmetrics")
         tm.Metric = Metric

@@ -1,0 +1,338 @@
+"""Training-objective parity vs the ACTUAL reference loss stack.
+
+Loads the reference training script (`/root/reference/scripts/
+train_poseestimator.py`) in-image (pytorch_lightning/kornia/torchvision come
+from tests/refstubs.py), calls its REAL `setup_losses` (lines 170-285: NLL
+on, ramped step-dependent weights, roi + pointhead + shape terms), and
+evaluates the reference's `default_compute_loss`
+(`trackertraincode/train.py:372-439`) against our `MaskedMultiTaskCriterion`:
+
+ - test_objective_parity: identical synthetic predictions + labels through
+   both loss stacks over a 4-tag fused batch (with a per-sample
+   dataset_weight sub-batch), at several epochs of the NLL weight ramp.
+   Loss-sum parity <=1e-6 relative; per-name weighted sums likewise.
+ - test_gradient_parity: the full objective composed with the real model
+   (reference torch net vs our converted flax twin): loss parity AND
+   per-parameter gradient parity for EVERY parameter, by converting the
+   torch gradient dict through the same state-dict converter used for
+   weights (pure transposes, `models/torch_interop.py`).
+
+A wrong loss weight, a flipped sign in Points3dLoss chin weighting
+(`losses.py:128-160`), or an NLL scale-parameterization bug
+(`negloglikelihood.py:22-274`) fails these tests.
+"""
+
+import importlib.util
+import sys
+from argparse import Namespace
+from os.path import dirname, join, realpath
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+import refstubs
+
+refstubs.install()
+
+sys.path.insert(0, join(dirname(realpath(__file__)), "..", "scripts"))
+
+from neuralnet_tracker_traincode_tpu.data.fields import Tag  # noqa: E402
+from neuralnet_tracker_traincode_tpu.models import torch_interop  # noqa: E402
+
+REF_GMM = "/root/reference/trackertraincode/facemodel/shapeparams_gmm.h5"
+
+ARGS = dict(
+    enable_6drot=False,
+    with_nll_loss=True,
+    rampup_nll_losses=True,
+    epochs=200,
+    with_roi_train=True,
+    with_pointhead=True,
+)
+
+# (tag, sub-batch size); POSE_WITH_LANDMARKS exercises every term group.
+TAG_SIZES = [
+    (Tag.POSE_WITH_LANDMARKS, 5),
+    (Tag.ONLY_POSE, 3),
+    (Tag.ONLY_LANDMARKS, 4),
+    (Tag.ONLY_LANDMARKS_25D, 2),
+]
+B = sum(n for _, n in TAG_SIZES)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def no_cuda():
+    """The reference criterion config calls .cuda()/.to('cuda') inline
+    (`train_poseestimator.py:203-263`); run it CPU-only."""
+    orig_cuda, orig_to = torch.nn.Module.cuda, torch.nn.Module.to
+
+    def to(self, *args, **kwargs):
+        if args and (args[0] == "cuda" or getattr(args[0], "type", None) == "cuda"):
+            return self
+        return orig_to(self, *args, **kwargs)
+
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.nn.Module.to = to
+    yield
+    torch.nn.Module.cuda, torch.nn.Module.to = orig_cuda, orig_to
+
+
+@pytest.fixture(scope="module")
+def ref_script():
+    spec = importlib.util.spec_from_file_location(
+        "ref_train_poseestimator", "/root/reference/scripts/train_poseestimator.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_criterions(ref_script):
+    with refstubs.patched_reference_bfm():
+        net = None  # setup_losses ignores the net argument
+        train_crit, test_crit = ref_script.setup_losses(Namespace(**ARGS), net)
+    return train_crit, test_crit
+
+
+@pytest.fixture(scope="module")
+def our_criterion():
+    import train_poseestimator as our_script
+
+    from neuralnet_tracker_traincode_tpu.losses import losses as our_losses
+
+    # Both sides must use the same GMM table for the shape-plausibility
+    # prior: ours ships a refit artifact, the reference its own
+    # (`losses.py:100-113`). Point ours at the reference's file.
+    orig = our_losses.ShapePlausibilityLoss.from_hdf5
+    our_losses.ShapePlausibilityLoss.from_hdf5 = staticmethod(lambda path: orig(REF_GMM))
+    try:
+        crit = our_script.setup_losses(Namespace(**ARGS), [t for t, _ in TAG_SIZES])
+    finally:
+        our_losses.ShapePlausibilityLoss.from_hdf5 = orig
+    return crit
+
+
+def _tril_positive(rs, shape_prefix, dim):
+    L = rs.uniform(0.2, 1.0, shape_prefix + (dim, dim)).astype(np.float32)
+    L = np.tril(L)
+    idx = np.arange(dim)
+    L[..., idx, idx] = rs.uniform(0.5, 1.5, shape_prefix + (dim,))
+    return L
+
+
+def make_data(seed=123):
+    rs = np.random.RandomState(seed)
+
+    def unit_quats(n):
+        q = rs.normal(size=(n, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        q[:, 3] = np.abs(q[:, 3])
+        return q
+
+    preds = {
+        "pose": unit_quats(B),
+        "unnormalized_quat": rs.normal(1.0, 0.3, (B, 4)).astype(np.float32),
+        "coord": rs.normal(0.0, 0.3, (B, 3)).astype(np.float32),
+        "pt3d_68": rs.normal(0.0, 0.5, (B, 68, 3)).astype(np.float32),
+        "shapeparam": rs.normal(0.0, 1.0, (B, 50)).astype(np.float32),
+        "roi": rs.normal(0.0, 0.5, (B, 4)).astype(np.float32),
+        "coord_scales": _tril_positive(rs, (B,), 3),
+        "pose_scales_tril": _tril_positive(rs, (B,), 3),
+        "roi_scales": rs.uniform(0.5, 1.5, (B, 4)).astype(np.float32),
+        "pt3d_68_scales": rs.uniform(0.5, 1.5, (B, 68, 3)).astype(np.float32),
+        "shapeparam_scales": rs.uniform(0.5, 1.5, (B, 50)).astype(np.float32),
+    }
+    labels = {
+        "pose": unit_quats(B),
+        "coord": rs.normal(0.0, 0.3, (B, 3)).astype(np.float32),
+        "pt3d_68": rs.normal(0.0, 0.5, (B, 68, 3)).astype(np.float32),
+        "shapeparam": rs.normal(0.0, 1.0, (B, 50)).astype(np.float32),
+        "roi": rs.normal(0.0, 0.5, (B, 4)).astype(np.float32),
+    }
+    # Per-sample dataset weights on the ONLY_POSE sub-batch (train.py:406-417).
+    dw = np.ones((B,), np.float32)
+    a = TAG_SIZES[0][1]
+    dw[a : a + TAG_SIZES[1][1]] = rs.uniform(0.3, 2.0, (TAG_SIZES[1][1],))
+    return preds, labels, dw
+
+
+def _ref_sub_batches(labels, dw):
+    from trackertraincode.datasets.batch import Batch as RefBatch, Metadata as RefMetadata
+    from trackertraincode.pipelines import Tag as RefTag
+
+    batches = []
+    offset = 0
+    for i, (tag, n) in enumerate(TAG_SIZES):
+        fields = {k: torch.from_numpy(v[offset : offset + n]) for k, v in labels.items()}
+        if i == 1:
+            fields["dataset_weight"] = torch.from_numpy(dw[offset : offset + n])
+        batches.append(RefBatch(RefMetadata((129, 129), n, RefTag[tag.name]), fields))
+        offset += n
+    return batches
+
+
+def _ref_loss(ref_criterions, preds_torch, labels, dw, epoch):
+    import trackertraincode.train as ref_train
+
+    batches = _ref_sub_batches(labels, dw)
+    loss_sum, all_lossvals = ref_train.default_compute_loss(
+        preds_torch, batches, epoch, ref_criterions[0]
+    )
+    import itertools
+
+    byname = ref_train.concatenated_lossvals_by_name(
+        itertools.chain.from_iterable(all_lossvals)
+    )
+    name_sums = {k: float((v * w).sum()) for k, (v, w) in byname.items()}
+    return float(loss_sum), name_sums
+
+
+def _our_loss(our_criterion, preds_jnp, labels, dw, epoch):
+    tag_id = np.concatenate(
+        [np.full((n,), our_criterion.tag_index[t], np.int32) for t, n in TAG_SIZES]
+    )
+    W = our_criterion.weight_matrix(epoch)
+    total, byname = our_criterion(
+        preds_jnp,
+        {k: jnp.asarray(v) for k, v in labels.items()},
+        jnp.asarray(tag_id),
+        jnp.asarray(W),
+        dataset_weight=jnp.asarray(dw),
+    )
+    name_sums = {k: float(jnp.sum(v * w)) for k, (v, w) in byname.items()}
+    return float(total), name_sums, total
+
+
+def _torch_preds(preds):
+    from trackertraincode.neuralnets.rotrepr import QuatRepr as RefQuatRepr
+
+    out = {k: torch.from_numpy(v) for k, v in preds.items()}
+    out["rot"] = RefQuatRepr(out["pose"])
+    return out
+
+
+def _jax_preds(preds):
+    from neuralnet_tracker_traincode_tpu.ops.rotrepr import QuatRepr
+
+    out = {k: jnp.asarray(v) for k, v in preds.items()}
+    out["rot"] = QuatRepr(out["pose"])
+    return out
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("epoch", [0, 30, 150])
+def test_objective_parity(ref_criterions, our_criterion, epoch):
+    preds, labels, dw = make_data()
+    ref_sum, ref_names = _ref_loss(ref_criterions, _torch_preds(preds), labels, dw, epoch)
+    our_sum, our_names, _ = _our_loss(our_criterion, _jax_preds(preds), labels, dw, epoch)
+
+    print(f"\n[loss-parity e{epoch}] ref={ref_sum:.8f} ours={our_sum:.8f} "
+          f"delta={abs(ref_sum - our_sum):.2e}")
+    assert abs(ref_sum - our_sum) <= 1e-6 * max(1.0, abs(ref_sum)), (ref_sum, our_sum)
+
+    # Our masked criterion evaluates each distinct term ONCE over the fused
+    # batch; per-name weighted sums must still match the reference's
+    # per-sub-batch evaluation exactly.
+    assert set(ref_names) == set(our_names), (
+        set(ref_names) ^ set(our_names)
+    )
+    for k in ref_names:
+        d = abs(ref_names[k] - our_names[k])
+        assert d <= 1e-5 * max(1.0, abs(ref_names[k])), (k, ref_names[k], our_names[k])
+
+
+@pytest.fixture(scope="module")
+def shared_net():
+    import trackertraincode.neuralnets.models as ref_models
+
+    from test_reference_parity import randomize_torch_module
+
+    from neuralnet_tracker_traincode_tpu.models.posenet import NetworkWithPointHead
+
+    with refstubs.patched_reference_bfm():
+        torch.manual_seed(77)
+        ref = ref_models.NetworkWithPointHead(
+            config="mobilenetv1", enable_point_head=True, enable_uncertainty=True
+        )
+    randomize_torch_module(ref, seed=78)
+    ref.eval()
+    variables = torch_interop.convert_posenet_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, ref.get_config()
+    )
+    ours = NetworkWithPointHead(**ref.get_config())
+    return ref, ours, variables
+
+
+@pytest.mark.slow
+def test_gradient_parity(ref_criterions, our_criterion, shared_net):
+    """Objective composed with the real model: loss and EVERY parameter's
+    gradient (torch autograd vs jax.grad through converted weights)."""
+    ref, ours, variables = shared_net
+    epoch = 150
+    _, labels, dw = make_data(seed=321)
+    rs = np.random.RandomState(9)
+    x = rs.uniform(-0.5, 0.5, (B, 1, 129, 129)).astype(np.float32)
+    cid = np.zeros((B,), np.int64)
+
+    # ---- torch side
+    import trackertraincode.train as ref_train
+
+    ref.zero_grad(set_to_none=True)
+    preds = ref(torch.from_numpy(x), torch.from_numpy(cid))
+    batches = _ref_sub_batches(labels, dw)
+    ref_loss, _ = ref_train.default_compute_loss(preds, batches, epoch, ref_criterions[0])
+    ref_loss.backward()
+    ref_loss = ref_loss.detach()
+    grads_sd = {}
+    pgrads = {k: p.grad for k, p in ref.named_parameters()}
+    for k, v in ref.state_dict().items():
+        g = pgrads.get(k)
+        grads_sd[k] = (g if g is not None else torch.zeros_like(v)).numpy()
+    ref_gvars = torch_interop.convert_posenet_state_dict(grads_sd, ref.get_config())
+
+    # ---- jax side
+    tag_id = jnp.asarray(
+        np.concatenate([np.full((n,), our_criterion.tag_index[t], np.int32) for t, n in TAG_SIZES])
+    )
+    W = jnp.asarray(our_criterion.weight_matrix(epoch))
+    labels_j = {k: jnp.asarray(v) for k, v in labels.items()}
+    dw_j = jnp.asarray(dw)
+    x_j = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    cid_j = jnp.asarray(cid)
+    nonparams = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(params):
+        out = ours.apply({**nonparams, "params": params}, x_j, cid_j, train=False)
+        total, _ = our_criterion(out, labels_j, tag_id, W, dataset_weight=dw_j)
+        return total
+
+    our_loss, our_grads = jax.value_and_grad(loss_fn)(variables["params"])
+
+    dl = abs(float(ref_loss) - float(our_loss))
+    print(f"\n[grad-parity] loss ref={float(ref_loss):.7f} ours={float(our_loss):.7f} d={dl:.2e}")
+    assert dl <= 2e-5 * max(1.0, abs(float(ref_loss)))
+
+    # ---- per-parameter comparison
+    ref_flat = jax.tree_util.tree_flatten_with_path(ref_gvars["params"])[0]
+    our_flat = dict(jax.tree_util.tree_flatten_with_path(our_grads)[0])
+    assert set(dict(ref_flat)) == set(our_flat)
+    worst = (0.0, None)
+    for path, rg in ref_flat:
+        og = np.asarray(our_flat[path])
+        rg = np.asarray(rg)
+        scale = max(np.abs(rg).max(), np.abs(og).max(), 1e-6)
+        rel = float(np.abs(rg - og).max() / scale)
+        if rel > worst[0]:
+            worst = (rel, jax.tree_util.keystr(path))
+        assert rel < 5e-3, (
+            f"{jax.tree_util.keystr(path)}: rel grad delta {rel:.2e} "
+            f"(|ref|max={np.abs(rg).max():.3e})"
+        )
+    print(f"[grad-parity] {len(ref_flat)} param tensors compared; worst rel delta "
+          f"{worst[0]:.2e} at {worst[1]}")
