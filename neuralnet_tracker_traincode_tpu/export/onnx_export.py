@@ -8,8 +8,9 @@ the training image); BatchNorm is folded into conv weights at export, so the
 graph is already "simplified" (the reference runs onnxsim for this).
 
 Supported posenet configs: mobilenetv1 / resnet18 (each with and without
-blurpool) and efficientnet_b0..b4; direct-quaternion and 6d-rotation heads;
-with and without uncertainty. Output modes:
+blurpool), efficientnet_b0..b4, and hybrid_vit (attention decomposed to
+MatMul/Softmax, LayerNorm to opset-13 primitives); direct-quaternion and
+6d-rotation heads; with and without uncertainty. Output modes:
  - outputs='opentrack' (default): pos_size, quat, box (+ *_scales) — the
    renamed subset consumed by the opentrack plugin (reference
    `ModelForOpenTrack`, export_model.py:116-146).
@@ -187,6 +188,16 @@ class GraphBuilder:
     def matmul(self, a, b):
         return self.node("MatMul", [a, b])
 
+    def expand_batch(self, const_1x, ref):
+        """Broadcast a (1, ...)-shaped constant across `ref`'s dynamic batch:
+        ReduceMean(ref*0) + const. Arithmetic broadcasting keeps the graph
+        free of Shape/Expand (same trick as const_like_rowvec). `ref` must
+        have the same rank as the constant."""
+        zero = self.init_tensor(np.asarray([0.0], np.float32), "zero")
+        z = self.mul(ref, zero)
+        z = self.node("ReduceMean", [z], axes=list(range(1, const_1x.ndim)), keepdims=1)
+        return self.add(z, self.init_tensor(const_1x, "bconst"))
+
     def const_like_rowvec(self, ref2d, values):
         """Broadcast a constant (C,) row vector to ref2d's batch: ref*0 + const.
 
@@ -319,14 +330,15 @@ def _emit_resnet18(g: GraphBuilder, x, params, stats, use_blurpool=False):
 def _emit_efficientnet(g: GraphBuilder, x, params, stats, kind: str):
     """EfficientNet b0..b4 backbone -> pooled feature vector node name.
 
-    Mirrors `models/backbones/efficientnet.py` (BN eps 1e-3, SiLU, SE blocks,
-    1->3 channel input adapter; stochastic depth is identity at eval).
+    Mirrors `models/backbones/efficientnet.py` (BN eps 1e-5 as in torchvision
+    V1, SiLU, SE blocks, 1->3 channel input adapter; stochastic depth is
+    identity at eval).
     """
     from neuralnet_tracker_traincode_tpu.models.backbones.efficientnet import (
         scaled_settings,
     )
 
-    EPS = 1e-3
+    EPS = 1e-5
     # 1x1 input adapter (has a bias, no BN).
     w = np.transpose(np.asarray(params["to_3chn_input"]["kernel"]), (3, 2, 0, 1))
     x = g.conv(x, w, np.asarray(params["to_3chn_input"]["bias"]), pads=[0, 0, 0, 0])
@@ -371,6 +383,119 @@ def _emit_efficientnet(g: GraphBuilder, x, params, stats, kind: str):
     return g.node("Flatten", [pooled], axis=1)
 
 
+def _emit_layernorm(g: GraphBuilder, x, ln_params, eps=1e-5):
+    """LayerNorm over the last axis, decomposed for opset 13 (the dedicated
+    LayerNormalization op only exists from opset 17)."""
+    scale = np.asarray(ln_params["scale"], np.float32)
+    bias = np.asarray(ln_params["bias"], np.float32)
+    mean = g.node("ReduceMean", [x], axes=[-1], keepdims=1)
+    d = g.sub(x, mean)
+    var = g.node("ReduceMean", [g.mul(d, d)], axes=[-1], keepdims=1)
+    std = g.node("Sqrt", [g.add(var, g.init_tensor(np.asarray(eps, np.float32), "lneps"))])
+    y = g.node("Div", [d, std])
+    y = g.mul(y, g.init_tensor(scale[None, None, :], "lnw"))
+    return g.add(y, g.init_tensor(bias[None, None, :], "lnb"))
+
+
+def _emit_mha(g: GraphBuilder, q_in, kv_in, p, d_model=256, nhead=8):
+    """Multi-head attention decomposed to MatMul/Softmax (flax
+    MultiHeadDotProductAttention semantics: logits scaled by 1/sqrt(hd))."""
+    hd = d_model // nhead
+
+    def proj(x, pr):
+        k = np.asarray(pr["kernel"], np.float32).reshape(d_model, d_model)  # (in, h*hd)
+        b = np.asarray(pr["bias"], np.float32).reshape(d_model)
+        y = g.add(g.matmul(x, g.init_tensor(k, "Wqkv")), g.init_tensor(b[None, None, :], "bqkv"))
+        y = g.reshape(y, [0, -1, nhead, hd])
+        return g.transpose(y, (0, 2, 1, 3))  # (B, h, L, hd)
+
+    qh = proj(q_in, p["query"])
+    kh = proj(kv_in, p["key"])
+    vh = proj(kv_in, p["value"])
+    scale = g.init_tensor(np.asarray(1.0 / math.sqrt(hd), np.float32), "attnscale")
+    logits = g.mul(g.matmul(qh, g.transpose(kh, (0, 1, 3, 2))), scale)
+    w = g.node("Softmax", [logits], axis=-1)
+    o = g.transpose(g.matmul(w, vh), (0, 2, 1, 3))  # (B, L, h, hd)
+    o = g.reshape(o, [0, -1, d_model])
+    ok = np.asarray(p["out"]["kernel"], np.float32).reshape(d_model, d_model)  # (h*hd, d)
+    ob = np.asarray(p["out"]["bias"], np.float32)
+    return g.add(g.matmul(o, g.init_tensor(ok, "Wo")), g.init_tensor(ob[None, None, :], "bo"))
+
+
+def _emit_transformer_ffn(g: GraphBuilder, x, p):
+    def dense(h, pr):
+        k = np.asarray(pr["kernel"], np.float32)
+        b = np.asarray(pr["bias"], np.float32)
+        return g.add(g.matmul(h, g.init_tensor(k, "Wff")), g.init_tensor(b[None, None, :], "bff"))
+
+    return dense(g.relu(dense(x, p["linear1"])), p["linear2"])
+
+
+def _emit_hybrid_vit(g: GraphBuilder, x, params, stats, num_heads: int):
+    """Hybrid CNN/Transformer backbone -> list of per-query feature nodes.
+
+    Mirrors `models/backbones/hybrid_vit.py` (reference
+    `trackertraincode/backbones/hybrid_vit.py:8-96`): bare 7x7 stride-2 stem
+    conv (no BN — reference quirk), resnet18 stages, 1x1 proj + BN, learned
+    position channels, cls token, post-LN 1+1 layer transformer with learned
+    queries. Attention decomposes to MatMul/Softmax; LayerNorm to
+    ReduceMean/Sqrt (opset-13 safe). The reference exports this via
+    torch.onnx (`scripts/export_model.py:201-279`)."""
+    w_stem = np.transpose(np.asarray(params["stem"]["kernel"]), (3, 2, 0, 1))
+    x = g.conv(x, w_stem.astype(np.float32), None, stride=2, pads=[3, 3, 3, 3])
+
+    for stage in range(4):
+        for blk in range(2):
+            stride = 2 if (stage > 0 and blk == 0) else 1
+            bp = params[f"layer{stage + 1}_{blk}"]
+            bs = stats[f"layer{stage + 1}_{blk}"]
+            identity = x
+            w1, b1 = _fold_scope(bp, bs, "conv1", "bn1")
+            h = g.relu(g.conv(x, w1, b1, stride=stride))
+            w2, b2 = _fold_scope(bp, bs, "conv2", "bn2")
+            h = g.conv(h, w2, b2, stride=1)
+            if "downsample_conv" in bp:
+                wd, bd = _fold_scope(bp, bs, "downsample_conv", "downsample_bn")
+                identity = g.conv(x, wd, bd, stride=stride, pads=[0, 0, 0, 0])
+            x = g.relu(g.add(h, identity))
+
+    wp, bpj = _fold_scope(params, stats, "proj_conv", "proj_bn")
+    z = g.conv(x, wp, bpj, pads=[0, 0, 0, 0])  # (B, 248, H, W)
+
+    pos = np.asarray(params["position"], np.float32)  # (1, H, W, 8)
+    _, H, W, penc = pos.shape
+    d_model = wp.shape[0] + penc
+    pos_nchw = np.transpose(pos, (0, 3, 1, 2)).copy()
+    z = g.concat([z, g.expand_batch(pos_nchw, z)], axis=1)  # (B, 256, H, W)
+    z = g.reshape(z, [0, d_model, H * W])
+    z = g.transpose(z, (0, 2, 1))  # (B, HW, 256)
+    cls = np.asarray(params["cls_token"], np.float32)  # (1, 1, 256)
+    z = g.concat([g.expand_batch(cls, z), z], axis=1)  # (B, HW+1, 256)
+
+    # Encoder layer (post-LN) + final encoder norm.
+    enc = params["transformer_encoder"]
+    att = _emit_mha(g, z, z, enc["self_attn"], d_model)
+    z = _emit_layernorm(g, g.add(z, att), enc["norm1"])
+    z = _emit_layernorm(g, g.add(z, _emit_transformer_ffn(g, z, enc)), enc["norm2"])
+    memory = _emit_layernorm(g, z, params["transformer_encoder_norm"])
+
+    # Decoder layer over the learned queries + final decoder norm.
+    queries = np.asarray(params["queries"], np.float32)[:, :num_heads, :]
+    tgt = g.expand_batch(queries.copy(), memory)
+    dec = params["transformer_decoder"]
+    att = _emit_mha(g, tgt, tgt, dec["self_attn"], d_model)
+    tgt = _emit_layernorm(g, g.add(tgt, att), dec["norm1"])
+    cross = _emit_mha(g, tgt, memory, dec["cross_attn"], d_model)
+    tgt = _emit_layernorm(g, g.add(tgt, cross), dec["norm2"])
+    tgt = _emit_layernorm(g, g.add(tgt, _emit_transformer_ffn(g, tgt, dec)), dec["norm3"])
+    out = _emit_layernorm(g, tgt, params["transformer_decoder_norm"])  # (B, nq, 256)
+
+    return [
+        g.reshape(g.slice_(out, [i], [i + 1], [1]), [-1, d_model])
+        for i in range(num_heads)
+    ]
+
+
 def _emit_backbone(g: GraphBuilder, x, model, params, stats):
     bargs = dict(model.backbone_args or {})
     use_blurpool = bool(bargs.get("use_blurpool"))
@@ -381,6 +506,10 @@ def _emit_backbone(g: GraphBuilder, x, model, params, stats):
     if model.config.startswith("efficientnet_"):
         kind = model.config[len("efficientnet_"):]
         return _emit_efficientnet(g, x, params["convnet"], stats["convnet"], kind)
+    if model.config == "hybrid_vit":
+        return _emit_hybrid_vit(
+            g, x, params["convnet"], stats["convnet"], model.num_heads
+        )
     raise ValueError(f"ONNX export does not support backbone {model.config!r}")
 
 
@@ -690,9 +819,20 @@ def build_posenet_onnx(
         x = g.node("Cast", [x], to=P.FLOAT16)
     features = _emit_backbone(g, x, model, params, stats)
 
+    # Per-head features: the transformer neck yields one query output per
+    # head (consumed in the same pop order as the flax/torch forward,
+    # `models.py:340-376`); CNN necks share one pooled vector.
+    if isinstance(features, list):
+        zs = list(features)
+    else:
+        zs = [features] * model.num_heads
+    f_box, f_pos, f_quat = zs.pop(), zs.pop(), zs.pop()
+    f_lmk = zs.pop() if model.enable_point_head else None
+    f_face = zs.pop() if model.enable_face_detector else None
+
     # Heads.
     box_z = g.gemm(
-        features, np.asarray(params["boxnet"]["linear"]["kernel"]),
+        f_box, np.asarray(params["boxnet"]["linear"]["kernel"]),
         np.asarray(params["boxnet"]["linear"]["bias"]),
     )
     box_center = g.slice_(box_z, [0], [2], [1])
@@ -700,19 +840,19 @@ def build_posenet_onnx(
     box = g.concat([g.sub(box_center, box_size), g.add(box_center, box_size)], axis=1)
 
     xy = g.gemm(
-        features, np.asarray(params["posnet"]["linear_xy"]["kernel"]),
+        f_pos, np.asarray(params["posnet"]["linear_xy"]["kernel"]),
         np.asarray(params["posnet"]["linear_xy"]["bias"]),
     )
     size = g.smoothclip0(
         g.gemm(
-            features, np.asarray(params["posnet"]["linear_size"]["kernel"]),
+            f_pos, np.asarray(params["posnet"]["linear_size"]["kernel"]),
             np.asarray(params["posnet"]["linear_size"]["bias"]),
         )
     )
 
     # Rotation head: hidden (pre-offset) representation.
     quat_z = g.gemm(
-        features, np.asarray(params["quatnet"]["linear"]["kernel"]),
+        f_quat, np.asarray(params["quatnet"]["linear"]["kernel"]),
         np.asarray(params["quatnet"]["linear"]["bias"]),
     )
     if model.enable_6drot:
@@ -767,7 +907,7 @@ def build_posenet_onnx(
 
     if emit_landmarks:
         pt3d_68, shapeparam = _emit_landmarks(
-            g, features, mat_k, screen_k, scale_k, params["landmarks"]
+            g, f_lmk, mat_k, screen_k, scale_k, params["landmarks"]
         )
 
     if outputs == "opentrack":
@@ -790,7 +930,7 @@ def build_posenet_onnx(
             ]
         if model.enable_face_detector:
             logits2d = g.gemm(
-                features, np.asarray(params["face_detector"]["kernel"]),
+                f_face, np.asarray(params["face_detector"]["kernel"]),
                 np.asarray(params["face_detector"]["bias"]),
             )
             logits = g.reshape(logits2d, [-1])
@@ -801,10 +941,10 @@ def build_posenet_onnx(
 
     if model.enable_uncertainty:
         coord_scales = _emit_triangular_scale(
-            g, features, params["posnet"]["uncertainty_scales"]["neck"]
+            g, f_pos, params["posnet"]["uncertainty_scales"]["neck"]
         )
         pose_scales = _emit_triangular_scale(
-            g, features, params["quatnet"]["uncertainty_net"]["neck"]
+            g, f_quat, params["quatnet"]["uncertainty_net"]["neck"]
         )
         roi_scales_const = _np_diag_scale_param(params["boxnet"]["uncertainty_scales"])
         roi_scales = g.const_like_rowvec(box, roi_scales_const)

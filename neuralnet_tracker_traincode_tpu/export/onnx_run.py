@@ -254,7 +254,9 @@ def run(
                 sl[int(ax)] = slice(int(s_), int(e_))
             y = i[0][tuple(sl)]
         elif op == "Reshape":
-            y = i[0].reshape([int(d) for d in i[1]])
+            shape = [int(d) for d in i[1]]
+            shape = [i[0].shape[k] if d == 0 else d for k, d in enumerate(shape)]
+            y = i[0].reshape(shape)
         elif op == "Unsqueeze":
             y = np.expand_dims(i[0], tuple(int(d) for d in i[1]))
         elif op == "Flatten":
@@ -423,7 +425,9 @@ def _jax_exec(model: OnnxModel, inits, feeds):
                 sl[int(ax)] = slice(int(s_), int(e_))
             y = i[0][tuple(sl)]
         elif op == "Reshape":
-            y = i[0].reshape([int(d) for d in np.asarray(i[1])])
+            shape = [int(d) for d in np.asarray(i[1])]
+            shape = [i[0].shape[k] if d == 0 else d for k, d in enumerate(shape)]
+            y = i[0].reshape(shape)
         elif op == "Unsqueeze":
             y = jnp.expand_dims(i[0], tuple(int(d) for d in np.asarray(i[1])))
         elif op == "Flatten":

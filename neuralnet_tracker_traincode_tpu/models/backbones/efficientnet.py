@@ -88,7 +88,7 @@ class MBConv(nn.Module):
     out_ch: int
     sd_prob: float = 0.0  # stochastic depth drop probability
     momentum: float = 0.99
-    bn_eps: float = 1e-3
+    bn_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -186,7 +186,7 @@ class EfficientNetBackbone(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
-            epsilon=1e-3,
+            epsilon=1e-5,
             dtype=self.dtype,
             name="stem_bn",
         )(x)
@@ -198,7 +198,7 @@ class EfficientNetBackbone(nn.Module):
         for stage_idx, cfg in enumerate(settings):
             for layer_idx in range(cfg.num_layers):
                 stride = cfg.stride if layer_idx == 0 else 1
-                sd_prob = self.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
+                sd_prob = self.stochastic_depth_prob * block_id / total_blocks
                 x = MBConv(
                     expand_ratio=cfg.expand_ratio,
                     kernel=cfg.kernel,
@@ -218,7 +218,7 @@ class EfficientNetBackbone(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
-            epsilon=1e-3,
+            epsilon=1e-5,
             dtype=self.dtype,
             name="head_bn",
         )(x)

@@ -27,12 +27,12 @@ class _EncoderLayer(nn.Module):
         att = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, dtype=self.dtype, dropout_rate=self.dropout, name="self_attn"
         )(x, x, deterministic=not train)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + nn.Dropout(self.dropout)(att, deterministic=not train))
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + nn.Dropout(self.dropout)(att, deterministic=not train))
         ff = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(x)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout)(ff, deterministic=not train)
         ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + nn.Dropout(self.dropout)(ff, deterministic=not train))
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + nn.Dropout(self.dropout)(ff, deterministic=not train))
         return x
 
 
@@ -48,20 +48,20 @@ class _DecoderLayer(nn.Module):
         att = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, dtype=self.dtype, dropout_rate=self.dropout, name="self_attn"
         )(tgt, tgt, deterministic=not train)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(
             tgt + nn.Dropout(self.dropout)(att, deterministic=not train)
         )
         cross = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, dtype=self.dtype, dropout_rate=self.dropout, name="cross_attn"
         )(tgt, memory, deterministic=not train)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
             tgt + nn.Dropout(self.dropout)(cross, deterministic=not train)
         )
         ff = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(tgt)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout)(ff, deterministic=not train)
         ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(
             tgt + nn.Dropout(self.dropout)(ff, deterministic=not train)
         )
         return tgt
@@ -121,10 +121,10 @@ class HybridVitBackbone(nn.Module):
             self.transformer_dim, self.nhead, 2 * self.transformer_dim, self.dropout,
             dtype=self.dtype, name="transformer_encoder",
         )(z, train)
-        memory = nn.LayerNorm(dtype=self.dtype, name="transformer_encoder_norm")(memory)
+        memory = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="transformer_encoder_norm")(memory)
         out = _DecoderLayer(
             self.transformer_dim, self.nhead, 2 * self.transformer_dim, self.dropout,
             dtype=self.dtype, name="transformer_decoder",
         )(jnp.broadcast_to(queries, (B, self.num_heads_out, self.transformer_dim)), memory, train)
-        out = nn.LayerNorm(dtype=self.dtype, name="transformer_decoder_norm")(out)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="transformer_decoder_norm")(out)
         return out, None

@@ -105,7 +105,148 @@ def _resnet18(sd, params: Dict, stats: Dict):
     stats["convnet"] = s
 
 
-_BACKBONE_CONVERTERS = {"mobilenetv1": _mobilenet, "resnet18": _resnet18}
+def _basic_block(sd, tprefix: str) -> Tuple[Dict, Dict]:
+    """torchvision BasicBlock (conv1/bn1/conv2/bn2[/downsample]) -> flax."""
+    bp, bs = {}, {}
+    c1_key = tprefix + ".conv1.weight"
+    if c1_key not in sd:
+        c1_key = tprefix + ".conv1.1.weight"  # blurpool variant
+    bp["conv1"] = {"kernel": _conv(sd[c1_key])}
+    _bn(tprefix + ".bn1", sd, bp, bs, "bn1")
+    bp["conv2"] = {"kernel": _conv(sd[tprefix + ".conv2.weight"])}
+    _bn(tprefix + ".bn2", sd, bp, bs, "bn2")
+    if tprefix + ".downsample.0.weight" in sd:
+        bp["downsample_conv"] = {"kernel": _conv(sd[tprefix + ".downsample.0.weight"])}
+        _bn(tprefix + ".downsample.1", sd, bp, bs, "downsample_bn")
+    return bp, bs
+
+
+def _efficientnet(kind: str, sd, params: Dict, stats: Dict):
+    """Reference EfficientNetBackbone (`trackertraincode/backbones/
+    efficientnet.py:14-77`): torchvision efficientnet features under
+    `convnet.layers` plus the 1->3 channel input adapter. torchvision MBConv
+    naming: block.0/1 = expand/depthwise Conv2dNormActivation (block.0 is the
+    depthwise when expand_ratio == 1), SqueezeExcitation fc1/fc2, final
+    project Conv2dNormActivation."""
+    from neuralnet_tracker_traincode_tpu.models.backbones.efficientnet import scaled_settings
+
+    settings, _ = scaled_settings(kind)
+    p, s = {}, {}
+    p["to_3chn_input"] = {
+        "kernel": _conv(sd["convnet.to_3chn_input.weight"]),
+        "bias": np.asarray(sd["convnet.to_3chn_input.bias"]),
+    }
+    p["stem_conv"] = {"kernel": _conv(sd["convnet.layers.0.0.weight"])}
+    _bn("convnet.layers.0.1", sd, p, s, "stem_bn")
+    for stage_idx, cfg in enumerate(settings):
+        for j in range(cfg.num_layers):
+            t = f"convnet.layers.{stage_idx + 1}.{j}.block"
+            bp, bs = {}, {}
+            k = 0
+            if cfg.expand_ratio != 1:
+                bp["expand_conv"] = {"kernel": _conv(sd[f"{t}.0.0.weight"])}
+                _bn(f"{t}.0.1", sd, bp, bs, "expand_bn")
+                k = 1
+            bp["dw_conv"] = {"kernel": _depthwise(sd[f"{t}.{k}.0.weight"])}
+            _bn(f"{t}.{k}.1", sd, bp, bs, "dw_bn")
+            bp["se"] = {
+                fc: {
+                    "kernel": _conv(sd[f"{t}.{k + 1}.{fc}.weight"]),
+                    "bias": np.asarray(sd[f"{t}.{k + 1}.{fc}.bias"]),
+                }
+                for fc in ("fc1", "fc2")
+            }
+            bp["project_conv"] = {"kernel": _conv(sd[f"{t}.{k + 2}.0.weight"])}
+            _bn(f"{t}.{k + 2}.1", sd, bp, bs, "project_bn")
+            name = f"stage{stage_idx + 1}_{j}"
+            p[name], s[name] = bp, bs
+    p["head_conv"] = {"kernel": _conv(sd["convnet.layers.8.0.weight"])}
+    _bn("convnet.layers.8.1", sd, p, s, "head_bn")
+    params["convnet"], stats["convnet"] = p, s
+
+
+def _mha(sd, prefix: str, d_model: int, nhead: int) -> Dict[str, Any]:
+    """torch nn.MultiheadAttention (packed in_proj) -> flax
+    MultiHeadDotProductAttention (query/key/value/out)."""
+    hd = d_model // nhead
+    w = np.asarray(sd[prefix + ".in_proj_weight"])  # (3d, d)
+    b = np.asarray(sd[prefix + ".in_proj_bias"])  # (3d,)
+    qw, kw, vw = np.split(w, 3, axis=0)
+    qb, kb, vb = np.split(b, 3, axis=0)
+
+    def proj(wmat, bvec):
+        return {
+            "kernel": np.ascontiguousarray(wmat.T).reshape(d_model, nhead, hd),
+            "bias": bvec.reshape(nhead, hd),
+        }
+
+    ow = np.asarray(sd[prefix + ".out_proj.weight"])  # (d, d)
+    return {
+        "query": proj(qw, qb),
+        "key": proj(kw, kb),
+        "value": proj(vw, vb),
+        "out": {
+            "kernel": np.ascontiguousarray(ow.T).reshape(nhead, hd, d_model),
+            "bias": np.asarray(sd[prefix + ".out_proj.bias"]),
+        },
+    }
+
+
+def _layer_norm(sd, prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": np.asarray(sd[prefix + ".weight"]), "bias": np.asarray(sd[prefix + ".bias"])}
+
+
+def _hybrid_vit(sd, params: Dict, stats: Dict):
+    """Reference HybridVitBackbone (`trackertraincode/backbones/
+    hybrid_vit.py:8-96`): Sequential(stem conv, resnet layer1..4) front,
+    1x1 projection + BN, learned position/cls/query embeddings, and a
+    1+1 layer torch nn.Transformer (post-LN, relu, final norms)."""
+    d_model, nhead = 256, 8
+    p, s = {}, {}
+    p["stem"] = {"kernel": _conv(sd["convnet.convnet.0.weight"])}
+    for stage in range(4):
+        for b in range(2):
+            bp, bs = _basic_block(sd, f"convnet.convnet.{stage + 1}.{b}")
+            name = f"layer{stage + 1}_{b}"
+            p[name], s[name] = bp, bs
+    p["proj_conv"] = {"kernel": _conv(sd["convnet.proj.0.weight"])}
+    _bn("convnet.proj.1", sd, p, s, "proj_bn")
+    p["position"] = np.transpose(np.asarray(sd["convnet.position"]), (0, 2, 3, 1))
+    p["queries"] = np.asarray(sd["convnet.queries"])
+    p["cls_token"] = np.asarray(sd["convnet.cls_token"])
+
+    enc = "convnet.transformer.encoder.layers.0"
+    p["transformer_encoder"] = {
+        "self_attn": _mha(sd, enc + ".self_attn", d_model, nhead),
+        "linear1": _linear(sd, enc + ".linear1"),
+        "linear2": _linear(sd, enc + ".linear2"),
+        "norm1": _layer_norm(sd, enc + ".norm1"),
+        "norm2": _layer_norm(sd, enc + ".norm2"),
+    }
+    p["transformer_encoder_norm"] = _layer_norm(sd, "convnet.transformer.encoder.norm")
+    dec = "convnet.transformer.decoder.layers.0"
+    p["transformer_decoder"] = {
+        "self_attn": _mha(sd, dec + ".self_attn", d_model, nhead),
+        "cross_attn": _mha(sd, dec + ".multihead_attn", d_model, nhead),
+        "linear1": _linear(sd, dec + ".linear1"),
+        "linear2": _linear(sd, dec + ".linear2"),
+        "norm1": _layer_norm(sd, dec + ".norm1"),
+        "norm2": _layer_norm(sd, dec + ".norm2"),
+        "norm3": _layer_norm(sd, dec + ".norm3"),
+    }
+    p["transformer_decoder_norm"] = _layer_norm(sd, "convnet.transformer.decoder.norm")
+    params["convnet"], stats["convnet"] = p, s
+
+
+_BACKBONE_CONVERTERS = {
+    "mobilenetv1": _mobilenet,
+    "resnet18": _resnet18,
+    "hybrid_vit": _hybrid_vit,
+}
+for _kind in ("b0", "b1", "b2", "b3", "b4"):
+    _BACKBONE_CONVERTERS["efficientnet_" + _kind] = (
+        lambda sd, params, stats, _k=_kind: _efficientnet(_k, sd, params, stats)
+    )
 
 
 def _linear(sd, prefix: str) -> Dict[str, np.ndarray]:

@@ -265,6 +265,188 @@ class ResNet18_Weights:  # namespace placeholder; any access means a download
     DEFAULT = None
 
 
+# ------------------------------------------------ torchvision efficientnet ---
+# Reimplementation of the public torchvision EfficientNet-V1 semantics with
+# torchvision's exact module naming (features.0.0 stem conv, stage blocks
+# features.i.j.block.{0,1,2,3} with SqueezeExcitation fc1/fc2, features.8
+# head), so reference EfficientNetBackbone state dicts keep their key layout.
+# BatchNorm uses the nn.BatchNorm2d defaults (eps 1e-5) as in torchvision's
+# V1 constructors (only the V2 variants override eps to 1e-3).
+
+
+class Conv2dNormActivation(nn.Sequential):
+    def __init__(self, in_ch, out_ch, kernel_size=3, stride=1, groups=1,
+                 norm_layer=nn.BatchNorm2d, activation_layer=nn.ReLU, dilation=1, bias=None):
+        padding = (kernel_size - 1) // 2 * dilation
+        if bias is None:
+            bias = norm_layer is None
+        layers = [nn.Conv2d(in_ch, out_ch, kernel_size, stride, padding,
+                            dilation=dilation, groups=groups, bias=bias)]
+        if norm_layer is not None:
+            layers.append(norm_layer(out_ch))
+        if activation_layer is not None:
+            layers.append(activation_layer(inplace=True))
+        super().__init__(*layers)
+
+
+class SqueezeExcitation(nn.Module):
+    def __init__(self, input_channels, squeeze_channels, activation=nn.ReLU,
+                 scale_activation=nn.Sigmoid):
+        super().__init__()
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc1 = nn.Conv2d(input_channels, squeeze_channels, 1)
+        self.fc2 = nn.Conv2d(squeeze_channels, input_channels, 1)
+        self.activation = activation()
+        self.scale_activation = scale_activation()
+
+    def forward(self, input):
+        scale = self.avgpool(input)
+        scale = self.activation(self.fc1(scale))
+        scale = self.scale_activation(self.fc2(scale))
+        return scale * input
+
+
+class StochasticDepth(nn.Module):
+    def __init__(self, p: float, mode: str):
+        super().__init__()
+        self.p, self.mode = p, mode
+
+    def forward(self, input):
+        if not self.training or self.p == 0.0:
+            return input
+        survival = 1.0 - self.p
+        size = [input.shape[0]] + [1] * (input.ndim - 1)
+        noise = torch.empty(size, dtype=input.dtype).bernoulli_(survival)
+        return input * noise / survival
+
+
+def _ef_make_divisible(v, divisor=8, min_value=None):
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class _EfMBConvConfig:
+    def __init__(self, expand_ratio, kernel, stride, input_channels, out_channels,
+                 num_layers, width_mult, depth_mult):
+        self.expand_ratio = expand_ratio
+        self.kernel = kernel
+        self.stride = stride
+        self.input_channels = self.adjust_channels(input_channels, width_mult)
+        self.out_channels = self.adjust_channels(out_channels, width_mult)
+        self.num_layers = int(__import__("math").ceil(num_layers * depth_mult))
+
+    @staticmethod
+    def adjust_channels(channels, width_mult, min_value=None):
+        return _ef_make_divisible(channels * width_mult, 8, min_value)
+
+
+class _EfMBConv(nn.Module):
+    def __init__(self, cnf: _EfMBConvConfig, stochastic_depth_prob, norm_layer):
+        super().__init__()
+        self.use_res_connect = cnf.stride == 1 and cnf.input_channels == cnf.out_channels
+        layers = []
+        expanded = cnf.adjust_channels(cnf.input_channels, cnf.expand_ratio)
+        if expanded != cnf.input_channels:
+            layers.append(Conv2dNormActivation(cnf.input_channels, expanded, kernel_size=1,
+                                               norm_layer=norm_layer, activation_layer=nn.SiLU))
+        layers.append(Conv2dNormActivation(expanded, expanded, kernel_size=cnf.kernel,
+                                           stride=cnf.stride, groups=expanded,
+                                           norm_layer=norm_layer, activation_layer=nn.SiLU))
+        squeeze_channels = max(1, cnf.input_channels // 4)
+        layers.append(SqueezeExcitation(expanded, squeeze_channels, activation=nn.SiLU))
+        layers.append(Conv2dNormActivation(expanded, cnf.out_channels, kernel_size=1,
+                                           norm_layer=norm_layer, activation_layer=None))
+        self.block = nn.Sequential(*layers)
+        self.stochastic_depth = StochasticDepth(stochastic_depth_prob, "row")
+        self.out_channels = cnf.out_channels
+
+    def forward(self, input):
+        result = self.block(input)
+        if self.use_res_connect:
+            result = self.stochastic_depth(result)
+            result = result + input
+        return result
+
+
+class EfficientNet(nn.Module):
+    def __init__(self, inverted_residual_setting, dropout, stochastic_depth_prob=0.2,
+                 num_classes=1000, norm_layer=None, last_channel=None):
+        super().__init__()
+        if norm_layer is None:
+            norm_layer = nn.BatchNorm2d
+        layers = []
+        firstconv_out = inverted_residual_setting[0].input_channels
+        layers.append(Conv2dNormActivation(3, firstconv_out, kernel_size=3, stride=2,
+                                           norm_layer=norm_layer, activation_layer=nn.SiLU))
+        total_stage_blocks = sum(cnf.num_layers for cnf in inverted_residual_setting)
+        stage_block_id = 0
+        import copy as _copy
+
+        for cnf in inverted_residual_setting:
+            stage = []
+            for _ in range(cnf.num_layers):
+                block_cnf = _copy.copy(cnf)
+                if stage:
+                    block_cnf.input_channels = block_cnf.out_channels
+                    block_cnf.stride = 1
+                sd_prob = stochastic_depth_prob * float(stage_block_id) / total_stage_blocks
+                stage.append(_EfMBConv(block_cnf, sd_prob, norm_layer))
+                stage_block_id += 1
+            layers.append(nn.Sequential(*stage))
+        lastconv_in = inverted_residual_setting[-1].out_channels
+        lastconv_out = last_channel if last_channel is not None else 4 * lastconv_in
+        layers.append(Conv2dNormActivation(lastconv_in, lastconv_out, kernel_size=1,
+                                           norm_layer=norm_layer, activation_layer=nn.SiLU))
+        self.features = nn.Sequential(*layers)
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.classifier = nn.Sequential(nn.Dropout(p=dropout, inplace=True),
+                                        nn.Linear(lastconv_out, num_classes))
+
+    def forward(self, x):
+        x = self.features(x)
+        x = self.avgpool(x)
+        x = torch.flatten(x, 1)
+        return self.classifier(x)
+
+
+def _efficientnet_conf(width_mult, depth_mult):
+    import functools
+
+    bneck = functools.partial(_EfMBConvConfig, width_mult=width_mult, depth_mult=depth_mult)
+    return [
+        bneck(1, 3, 1, 32, 16, 1),
+        bneck(6, 3, 2, 16, 24, 2),
+        bneck(6, 5, 2, 24, 40, 2),
+        bneck(6, 3, 2, 40, 80, 3),
+        bneck(6, 5, 1, 80, 112, 3),
+        bneck(6, 5, 2, 112, 192, 4),
+        bneck(6, 3, 1, 192, 320, 1),
+    ]
+
+
+def _make_efficientnet(width_mult, depth_mult, dropout):
+    def ctor(*, weights=None, progress=True, **kwargs):
+        assert weights is None, "stub cannot download pretrained weights"
+        return EfficientNet(_efficientnet_conf(width_mult, depth_mult), dropout, **kwargs)
+
+    return ctor
+
+
+efficientnet_b0 = _make_efficientnet(1.0, 1.0, 0.2)
+efficientnet_b1 = _make_efficientnet(1.0, 1.1, 0.2)
+efficientnet_b2 = _make_efficientnet(1.1, 1.2, 0.3)
+efficientnet_b3 = _make_efficientnet(1.2, 1.4, 0.3)
+efficientnet_b4 = _make_efficientnet(1.4, 1.8, 0.4)
+
+
+class EfficientNet_B3_Weights:  # namespace placeholder; any access means a download
+    DEFAULT = None
+
+
 # ------------------------------------------- torchvision.transforms.functional ---
 
 
@@ -411,18 +593,14 @@ def install() -> None:
             setattr(resnet_mod, obj.__name__, obj)
         tvm.resnet = resnet_mod
         tvm.resnet18 = resnet18
-        # efficientnet: import must succeed; instantiating one must not.
         eff = _module("torchvision.models.efficientnet")
-
-        def _no_efficientnet(*a, **k):
-            raise NotImplementedError("torchvision efficientnet is not stubbed")
-
-        def _eff_getattr(name: str):
-            if name.startswith("__"):
-                raise AttributeError(name)
-            return _no_efficientnet
-
-        eff.__getattr__ = _eff_getattr
+        for obj in (
+            EfficientNet, Conv2dNormActivation, SqueezeExcitation, StochasticDepth,
+            EfficientNet_B3_Weights,
+        ):
+            setattr(eff, obj.__name__, obj)
+        for kind in ("b0", "b1", "b2", "b3", "b4"):
+            setattr(eff, "efficientnet_" + kind, globals()["efficientnet_" + kind])
         tvm.efficientnet = eff
 
         # transforms.functional: crop/resize used by the reference torch warp path.

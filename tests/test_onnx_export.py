@@ -318,6 +318,25 @@ def test_posenet_onnx_efficientnet_b0(rng):
     np.testing.assert_allclose(out["box"], np.asarray(ref["roi"]), atol=2e-4)
 
 
+@pytest.mark.slow
+def test_posenet_onnx_hybrid_vit(rng):
+    """Transformer backbone export: attention decomposes to MatMul/Softmax,
+    LayerNorm to ReduceMean/Sqrt; per-query features feed the right heads
+    (reference exports this net via torch.onnx, `export_model.py:201-279`)."""
+    model = NetworkWithPointHead(
+        enable_point_head=True, enable_uncertainty=True, config="hybrid_vit"
+    )
+    variables = _init(model, (1, 129, 129, 1))
+    blob = onnx_export.build_posenet_onnx(model, variables, outputs="full")
+    sess = onnx_run.NumpyOnnxSession(blob)
+    x_nhwc = (rng.rand(2, 129, 129, 1).astype(np.float32) - 0.5)
+    ref = model.apply(variables, jnp.asarray(x_nhwc), train=False)
+    out = dict(zip(sess.output_names, sess.run(None, {"x": np.moveaxis(x_nhwc, -1, 1)})))
+    for k in ("pose", "coord", "roi", "pt3d_68", "shapeparam",
+              "coord_scales", "pose_scales_tril"):
+        np.testing.assert_allclose(out[k], np.asarray(ref[k]), atol=2e-4, err_msg=k)
+
+
 def test_onnx_rotation_math_emissions(rng):
     """The on-graph quat<->matrix conversions must match ops.quaternion for
     arbitrary rotations — including ones where from_matrix picks each of the
