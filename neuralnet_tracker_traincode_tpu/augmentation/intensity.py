@@ -27,31 +27,41 @@ def _per_sample_where(mask, a, b):
 
 
 def equalize(images: jax.Array) -> jax.Array:
-    """Histogram equalization per image (torchvision algorithm, branch-free).
+    """Histogram equalization, kornia-exact per channel, branch-free.
+
+    Kornia's `equalize` float path (`kornia/enhance/equalization` public
+    semantics; reference uses it via `RandomEqualize`) scales to [0, 255],
+    histograms with `torch.histc(256, 0, 255)` — bin width 255/256, so the
+    bin index is floor(x*256) — builds the torchvision LUT with FLOORED
+    half-step `(cumsum + step//2) // step`, and looks pixels up by `.long()`
+    truncation, i.e. floor(x*255). The two index scales differ by design;
+    both are reproduced here.
 
     The histogram is a one-hot contraction rather than a scatter-add — XLA:TPU
     lowers scatters to a serial loop, while the 256-bin one-hot matmul rides
     the MXU. The LUT is likewise applied with a matmul instead of a gather.
     """
 
-    def eq_one(img):
-        flat = jnp.clip(img * 255.0, 0.0, 255.0).astype(jnp.int32).reshape(-1)
-        onehot = jax.nn.one_hot(flat, 256, dtype=jnp.float32)  # (P, 256)
-        hist = jnp.sum(onehot, axis=0)
+    def eq_channel(img):  # (H, W) float [0, 1]
+        hist_idx = jnp.clip(jnp.floor(img * 256.0), 0.0, 255.0).astype(jnp.int32)
+        onehot_hist = jax.nn.one_hot(hist_idx.reshape(-1), 256, dtype=jnp.float32)
+        hist = jnp.sum(onehot_hist, axis=0)
         nonzero = hist > 0
-        # Index of the last nonzero bin.
         idx = jnp.arange(256)
         last_nz = jnp.max(jnp.where(nonzero, idx, -1))
         last_count = hist[last_nz]
         step = jnp.floor((jnp.sum(hist) - last_count) / 255.0)
         cum = jnp.cumsum(hist)
-        lut = jnp.floor((cum + step / 2.0) / jnp.maximum(step, 1.0))
+        lut = jnp.floor((cum + jnp.floor(step / 2.0)) / jnp.maximum(step, 1.0))
         lut = jnp.clip(jnp.concatenate([jnp.zeros((1,)), lut[:-1]]), 0.0, 255.0)
-        out = jnp.matmul(onehot, lut, precision=jax.lax.Precision.HIGHEST).reshape(img.shape)
-        out = out / 255.0
+        look_idx = jnp.floor(img * 255.0).astype(jnp.int32)  # .long() truncation
+        onehot_look = jax.nn.one_hot(look_idx.reshape(-1), 256, dtype=jnp.float32)
+        out = jnp.matmul(
+            onehot_look, lut, precision=jax.lax.Precision.HIGHEST
+        ).reshape(img.shape) / 255.0
         return jnp.where(step == 0, img, out)
 
-    return jax.vmap(eq_one)(images)
+    return jax.vmap(jax.vmap(eq_channel, in_axes=-1, out_axes=-1))(images)
 
 
 def posterize(images: jax.Array, bits: jax.Array) -> jax.Array:
@@ -64,7 +74,9 @@ def posterize(images: jax.Array, bits: jax.Array) -> jax.Array:
 
 
 def adjust_gamma(images: jax.Array, gamma: jax.Array) -> jax.Array:
-    return jnp.power(jnp.clip(images, 1e-8, 1.0), gamma[:, None, None, None])
+    """kornia adjust_gamma with gain 1: plain pow, no clamp (inputs are
+    non-negative; pow(0, g) = 0 for the g > 0 range used here)."""
+    return jnp.power(jnp.maximum(images, 0.0), gamma[:, None, None, None])
 
 
 def adjust_contrast(images: jax.Array, factor: jax.Array) -> jax.Array:
@@ -115,7 +127,9 @@ def intensity_augmentation_stage1(
     x = _per_sample_where(m, equalize(x), x)
 
     m = jax.random.bernoulli(keys[1], 0.01 * f, (B,))
-    bits = jax.random.randint(keys[2], (B,), 4, 7)  # 4..6 inclusive
+    # kornia PosterizeGenerator truncates a continuous uniform(4, 6) draw to
+    # int32, so bits land in {4, 5} (6 with probability zero).
+    bits = jnp.floor(jax.random.uniform(keys[2], (B,), minval=4.0, maxval=6.0)).astype(jnp.int32)
     x = _per_sample_where(m, posterize(x, bits), x)
 
     m = jax.random.bernoulli(keys[3], 0.2 * f, (B,))

@@ -4,13 +4,29 @@ Replaces the reference's multi-process torch DataLoader + pinned-memory
 transfer (`datatransformation/loader.py`, `pipelines.py:534-543`). The host
 only reads HDF5 rows, decodes JPEGs and packs numpy batches of STATIC shape
 (images zero-padded to a fixed size, missing label fields zero-filled, tags as
-ints); a background thread keeps a prefetch queue full and batches are placed
-on the device mesh asynchronously. All augmentation happens on device.
+ints); worker threads or processes keep a prefetch queue full and batches are
+placed on the device mesh asynchronously. All augmentation happens on device.
+
+Determinism: batch COMPOSITION is planned up front by a single consumer of
+the sampler stream (`plan_batches`) and plans are dispatched round-robin to
+workers; the consumer reads completed batches back in the same round-robin
+order. The batch stream is therefore identical for ANY worker count and
+worker type — seeded runs no longer need to force one producer.
+
+Scaling: `worker_type="process"` (default for num_workers > 1) runs each
+worker in a spawned subprocess with its own pickled copy of the dataset
+(HDF5 handles re-open lazily per process, `data/hdf5.py`), sidestepping the
+GIL for the Python parts of sample assembly — the process analog of the
+reference's torch DataLoader workers (`loader.py:7-116`). Thread workers
+remain available (`worker_type="thread"`): HDF5 reads and the native JPEG
+decode release the GIL, so they scale until Python-side label packing
+saturates one core.
 """
 
+import os
 import queue
 import threading
-from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+from typing import Any, Callable, Dict, Iterable, Iterator, List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -47,6 +63,7 @@ def pack_fused_batch(
     pad_size: int,
     dataset_weights: Optional[Sequence[float]] = None,
     decode_threads: Optional[int] = None,
+    allow_pad_growth: Optional[bool] = None,
 ) -> Dict[str, np.ndarray]:
     """Pack per-sample Batches into one fixed-shape fused batch dict.
 
@@ -89,9 +106,14 @@ def pack_fused_batch(
 
     largest = max(max(image_dims(im)) for im in raw)
     if largest > pad_size:
-        import jax
+        if allow_pad_growth is None:
+            # Lazy default: single-host runs may grow; multi-host must not
+            # (worker subprocesses pass the flag explicitly instead of
+            # importing jax).
+            import jax
 
-        if jax.process_count() > 1:
+            allow_pad_growth = jax.process_count() == 1
+        if not allow_pad_growth:
             # Growing the pad locally would give THIS host a different batch
             # shape than its peers — the SPMD train step would then crash or
             # deadlock at a random step. Fail loudly instead.
@@ -141,12 +163,87 @@ def pack_fused_batch(
     return out
 
 
+class BatchPlan(NamedTuple):
+    """Pre-assigned composition of one fused batch (global indices into the
+    concat dataset + per-SAMPLE tag ids and loss weights)."""
+
+    indices: List[int]
+    tag_ids: List[int]
+    weights: List[float]
+
+
+def _unwrap_frame_count(ds, index: int) -> int:
+    """Frames a sample contributes, WITHOUT loading it (sequence metadata
+    only). Unwraps Subset/TransformedDataset/ConcatDataset wrappers."""
+    while True:
+        if hasattr(ds, "cumulative_sizes"):  # ConcatDataset
+            import bisect
+
+            dsi = bisect.bisect_right(ds.cumulative_sizes, index)
+            start = 0 if dsi == 0 else ds.cumulative_sizes[dsi - 1]
+            ds, index = ds.datasets[dsi], index - start
+        elif hasattr(ds, "indices"):  # Subset
+            ds, index = ds.dataset, int(ds.indices[index])
+        elif hasattr(ds, "sequence_frame_count"):
+            return int(ds.sequence_frame_count(index))
+        elif hasattr(ds, "dataset"):  # TransformedDataset
+            ds = ds.dataset
+        else:
+            return 1
+
+
+def _produce_batch(ds, plan: BatchPlan, batchsize: int, pad_size: int,
+                   decode_threads: int, allow_pad_growth: bool) -> Dict[str, np.ndarray]:
+    samples = [ds[gi] for gi in plan.indices]
+    batch = pack_fused_batch(
+        samples, plan.tag_ids, pad_size, plan.weights, decode_threads,
+        allow_pad_growth=allow_pad_growth,
+    )
+    B = batch["tag_id"].shape[0]
+    if B < batchsize:
+        # Pad with repeats of the first frame at weight 0 to keep shapes static.
+        def pad(v):
+            reps = np.repeat(v[:1], batchsize - B, axis=0)
+            return np.concatenate([v, reps], axis=0)
+
+        batch = {k: pad(v) for k, v in batch.items()}
+        batch["dataset_weight"][B:] = 0.0
+    return batch
+
+
+def _process_worker_main(ds, in_q, out_q, batchsize, pad_size, decode_threads,
+                         allow_pad_growth):
+    """Spawned worker: produce batches for pre-assigned plans, in order."""
+    # Never let worker subprocesses grab an accelerator (pack_fused_batch is
+    # passed allow_pad_growth explicitly, so jax is not even imported).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        while True:
+            plan = in_q.get()
+            if plan is None:
+                return
+            try:
+                out_q.put(_produce_batch(
+                    ds, plan, batchsize, pad_size, decode_threads, allow_pad_growth
+                ))
+            except Exception as e:  # forward to the parent consumer
+                out_q.put(e)
+                return
+    except (KeyboardInterrupt, EOFError, BrokenPipeError):
+        pass
+
+
 class FusedBatchLoader:
     """Iterates fixed-size fused training batches with background prefetch.
 
     datasets: list of (dataset, tag) pairs; sampler yields global indices into
     their concatenation. Each batch draws `batchsize` FRAMES (sequences count
     with their length).
+
+    Batch composition is PLANNED by a single sampler consumer and dispatched
+    round-robin, so the batch stream is deterministic for any `num_workers`
+    and `worker_type` ("process": spawned subprocesses, the default for
+    num_workers > 1; "thread": in-process producers).
     """
 
     def __init__(
@@ -160,131 +257,261 @@ class FusedBatchLoader:
         dataset_weight_by_index: Optional[Callable[[int], float]] = None,
         prefetch: int = 4,
         num_workers: int = 0,
+        worker_type: str = "auto",
     ):
-        """num_workers: 0/1 = one producer thread (deterministic batch
-        composition); N>1 = N producer threads pulling from a shared, locked
-        sampler stream. HDF5 reads and the native JPEG decode release the GIL,
-        so producers scale with host cores; batch composition then depends on
-        thread interleaving (the sampler is an infinite random mix, so the
-        training distribution is unchanged)."""
+        assert worker_type in ("auto", "thread", "process"), worker_type
         self.ds = concat_dataset
-        self.tags_by_dataset_index = tags_by_dataset_index
         self.tag_to_id = tag_to_id
         self.sampler = sampler
         self.batchsize = batchsize
         self.pad_size = pad_size
-        self.dataset_weight_by_index = dataset_weight_by_index
-        self.prefetch = max(prefetch, 2 * max(1, num_workers))
         self.num_workers = max(1, int(num_workers))
+        self.prefetch = max(prefetch, 2 * self.num_workers)
+        self.worker_type = (
+            worker_type
+            if worker_type != "auto"
+            else ("process" if self.num_workers > 1 else "thread")
+        )
         self._cumsizes = np.asarray(self.ds.cumulative_sizes)
+        # Materialize the per-dataset tag/weight tables now (finite domain) so
+        # nothing unpicklable needs to cross into worker subprocesses.
+        n_ds = len(self.ds.datasets)
+        self._tag_id_by_ds = [tag_to_id[tags_by_dataset_index(i)] for i in range(n_ds)]
+        self._weight_by_ds = [
+            1.0 if dataset_weight_by_index is None else float(dataset_weight_by_index(i))
+            for i in range(n_ds)
+        ]
+        import jax
+
+        self._allow_pad_growth = jax.process_count() == 1
 
     def _dataset_index(self, global_index: int) -> int:
         return int(np.searchsorted(self._cumsizes, global_index, side="right"))
 
-    def _make_batch(self, index_iter) -> Dict[str, np.ndarray]:
-        samples, tag_ids, weights = [], [], []
-        frames = 0
-        while frames < self.batchsize:
-            gi = next(index_iter)
-            s = self.ds[gi]
-            dsi = self._dataset_index(gi)
-            tag = self.tags_by_dataset_index(dsi)
-            n = s.meta.seq[-1] if s.meta.seq else 1
-            if frames + n > self.batchsize and samples:
-                break  # keep shape static; drop back the long sequence
-            samples.append(s)
-            tag_ids.append(self.tag_to_id[tag])
-            weights.append(
-                1.0
-                if self.dataset_weight_by_index is None
-                else self.dataset_weight_by_index(dsi)
-            )
-            frames += n
-        # Split decode threads across producers to avoid oversubscription.
-        import os as _os
-
-        decode_threads = max(1, (_os.cpu_count() or 1) // self.num_workers)
-        batch = pack_fused_batch(samples, tag_ids, self.pad_size, weights, decode_threads)
-        B = batch["tag_id"].shape[0]
-        if B < self.batchsize:
-            # Pad with repeats of the first frame at weight 0 to keep shapes static.
-            def pad(v):
-                reps = np.repeat(v[:1], self.batchsize - B, axis=0)
-                return np.concatenate([v, reps], axis=0)
-
-            batch = {k: pad(v) for k, v in batch.items()}
-            batch["dataset_weight"][B:] = 0.0
-        return batch
+    def plan_batches(self) -> Iterator[BatchPlan]:
+        """Deterministically cut the sampler stream into batch plans."""
+        carry: Optional[tuple] = None
+        it = iter(self.sampler)
+        while True:
+            indices: List[int] = []
+            tag_ids: List[int] = []
+            weights: List[float] = []
+            frames = 0
+            while frames < self.batchsize:
+                if carry is not None:
+                    gi, n = carry
+                    carry = None
+                else:
+                    try:
+                        gi = next(it)
+                    except StopIteration:
+                        if indices:
+                            yield BatchPlan(indices, tag_ids, weights)
+                        return
+                    n = _unwrap_frame_count(self.ds, gi)
+                if frames + n > self.batchsize and indices:
+                    carry = (gi, n)  # keep shape static; defer the long sequence
+                    break
+                dsi = self._dataset_index(gi)
+                indices.append(int(gi))
+                tag_ids.append(self._tag_id_by_ds[dsi])
+                weights.append(self._weight_by_ds[dsi])
+                frames += n
+            yield BatchPlan(indices, tag_ids, weights)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        raw_iter = iter(self.sampler)
-        if self.num_workers > 1:
-            # Shared sampler stream: producers pull indices under a lock (the
-            # expensive work — HDF5 reads, native decode — happens outside it).
-            lock = threading.Lock()
-
-            def locked_next():
-                with lock:
-                    return next(raw_iter)
-
-            class _LockedIter:
-                def __iter__(self):
-                    return self
-
-                def __next__(self):
-                    return locked_next()
-
-            index_iter = _LockedIter()
+        if self.worker_type == "process" and self.num_workers > 1:
+            yield from self._iter_process_workers()
         else:
-            index_iter = raw_iter
+            yield from self._iter_thread_workers()
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+    # ---- thread backend ---------------------------------------------------
+
+    def _iter_thread_workers(self) -> Iterator[Dict[str, np.ndarray]]:
+        W = self.num_workers
+        decode_threads = max(1, (os.cpu_count() or 1) // W)
+        plans = self.plan_batches()
+        plan_lock = threading.Lock()
+        per_worker = max(2, self.prefetch // W)
+        in_qs = [queue.Queue(maxsize=per_worker) for _ in range(W)]
+        out_qs = [queue.Queue(maxsize=per_worker) for _ in range(W)]
         stop = object()
         # The sampler is typically infinite, so workers must die with the
         # generator: callers create an iterator per epoch, and immortal
         # workers would pile up decoding concurrently for abandoned queues.
         cancel = threading.Event()
 
-        def put_with_cancel(item):
+        def put_with_cancel(q, item):
             # Every put must stay cancellable: a blocking put after the
             # consumer abandoned the generator would leak the worker thread
             # (and its HDF5 handles/batch buffers) forever.
             while not cancel.is_set():
                 try:
                     q.put(item, timeout=0.1)
-                    return
+                    return True
                 except queue.Full:
                     continue
+            return False
 
-        def worker():
+        def feeder():
+            # Round-robin dispatch preserves global batch order.
+            w = 0
+            try:
+                for plan in plans:
+                    if not put_with_cancel(in_qs[w], plan):
+                        return
+                    w = (w + 1) % W
+            finally:
+                for q_ in in_qs:
+                    put_with_cancel(q_, stop)
+
+        def worker(wi):
             try:
                 while not cancel.is_set():
-                    item = self._make_batch(index_iter)
-                    put_with_cancel(item)
-            except StopIteration:
-                put_with_cancel(stop)
+                    try:
+                        plan = in_qs[wi].get(timeout=0.1)
+                    except queue.Empty:
+                        continue
+                    if plan is stop:
+                        put_with_cancel(out_qs[wi], stop)
+                        return
+                    put_with_cancel(out_qs[wi], _produce_batch(
+                        self.ds, plan, self.batchsize, self.pad_size,
+                        decode_threads, self._allow_pad_growth,
+                    ))
             except Exception as e:  # propagate into the consumer
-                put_with_cancel(e)
+                put_with_cancel(out_qs[wi], e)
 
-        threads = [
-            threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)
+        threads = [threading.Thread(target=feeder, daemon=True)] + [
+            threading.Thread(target=worker, args=(i,), daemon=True) for i in range(W)
         ]
         for t in threads:
             t.start()
-        stopped = 0
+
+        # At interpreter exit a daemon worker killed mid-HDF5-read can hold
+        # the HDF5 global lock forever and deadlock h5py teardown in the main
+        # thread; cancel and join (bounded) before finalization proceeds.
+        import atexit
+
+        def cleanup():
+            cancel.set()
+            for t in threads:
+                t.join(timeout=5)
+
+        atexit.register(cleanup)
         try:
+            w = 0
             while True:
-                item = q.get()
+                item = out_qs[w].get()
                 if item is stop:
-                    stopped += 1
-                    if stopped == self.num_workers:
-                        return
-                    continue
+                    return
                 if isinstance(item, Exception):
                     raise item
                 yield item
+                w = (w + 1) % W
         finally:
+            cleanup()
+            atexit.unregister(cleanup)
+
+    # ---- process backend --------------------------------------------------
+
+    def _iter_process_workers(self) -> Iterator[Dict[str, np.ndarray]]:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        W = self.num_workers
+        decode_threads = max(1, (os.cpu_count() or 1) // W)
+        per_worker = max(2, self.prefetch // W)
+        in_qs = [ctx.Queue(maxsize=per_worker) for _ in range(W)]
+        out_qs = [ctx.Queue(maxsize=per_worker) for _ in range(W)]
+        procs = [
+            ctx.Process(
+                target=_process_worker_main,
+                args=(self.ds, in_qs[i], out_qs[i], self.batchsize, self.pad_size,
+                      decode_threads, self._allow_pad_growth),
+                daemon=True,
+            )
+            for i in range(W)
+        ]
+        # Children inherit the environment at start(): pin them to the CPU
+        # backend so an incidental jax import during unpickling can never
+        # grab the accelerator the parent is training on.
+        prev = os.environ.get("JAX_PLATFORMS")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            for p in procs:
+                p.start()
+        finally:
+            if prev is None:
+                os.environ.pop("JAX_PLATFORMS", None)
+            else:
+                os.environ["JAX_PLATFORMS"] = prev
+
+        cancel = threading.Event()
+        plans = self.plan_batches()
+        sent = [0] * W
+        done_feeding = threading.Event()
+
+        def feeder():
+            w = 0
+            try:
+                for plan in plans:
+                    while not cancel.is_set():
+                        try:
+                            in_qs[w].put(plan, timeout=0.1)
+                            sent[w] += 1
+                            break
+                        except queue.Full:
+                            continue
+                    if cancel.is_set():
+                        return
+                    w = (w + 1) % W
+            finally:
+                done_feeding.set()
+                for q_ in in_qs:
+                    try:
+                        q_.put(None, timeout=5)
+                    except Exception:
+                        pass
+
+        feeder_t = threading.Thread(target=feeder, daemon=True)
+        feeder_t.start()
+        received = [0] * W
+
+        import atexit
+
+        def cleanup():
             cancel.set()
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+            for q_ in in_qs + out_qs:
+                q_.cancel_join_thread()
+
+        atexit.register(cleanup)
+        try:
+            w = 0
+            while True:
+                try:
+                    item = out_qs[w].get(timeout=0.2)
+                except queue.Empty:
+                    if (done_feeding.is_set() and received[w] >= sent[w]
+                            and not feeder_t.is_alive()):
+                        return  # finite sampler exhausted
+                    if not procs[w].is_alive():
+                        raise RuntimeError(
+                            f"loader worker {w} died (exit {procs[w].exitcode})"
+                        )
+                    continue
+                received[w] += 1
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+                w = (w + 1) % W
+        finally:
+            cleanup()
+            atexit.unregister(cleanup)
 
 
 def device_prefetch(iterator, mesh, size: int = 2):

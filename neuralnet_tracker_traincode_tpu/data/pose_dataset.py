@@ -30,6 +30,12 @@ from neuralnet_tracker_traincode_tpu.data.hdf5 import (
 Tag = Any
 
 
+def _identity(x):
+    """Module-level identity (lambdas would break worker-process pickling)."""
+    return x
+
+
+
 def create_pose_dataset(
     g: h5py.Group,
     kind: FieldCategory,
@@ -176,7 +182,7 @@ class Hdf5PoseDataset(Hdf5DatasetBase):
         self._sequence_starts = None
         self._frame_to_individual = None
         super().__init__(filename, monochrome, whitelist)
-        self.transform = (lambda x: x) if transform is None else transform
+        self.transform = _identity if transform is None else transform
         self.dataclass = dataclass
         self.coord_convention_id = coord_convention_id
 
@@ -237,8 +243,8 @@ class Hdf5PoseVideoDataset(Hdf5DatasetBase):
         whitelist = whitelist or default_whitelist
         super().__init__(filename, monochrome=monochrome, whitelist=whitelist)
         self.dataclass = dataclass
-        self.transform = (lambda x: x) if transform is None else transform
-        self.frame_transform = (lambda x: x) if frame_transform is None else frame_transform
+        self.transform = _identity if transform is None else transform
+        self.frame_transform = _identity if frame_transform is None else frame_transform
 
     def _init_from_file(self, f: h5py.File, whitelist: Whitelist):
         names_datasets = super()._init_from_file(f, whitelist)
@@ -272,6 +278,12 @@ class Hdf5PoseVideoDataset(Hdf5DatasetBase):
 
     def __len__(self):
         return len(self.sequences)
+
+    def sequence_frame_count(self, index: int) -> int:
+        """Frames in mini-sequence `index` (metadata only — used by the
+        loader's batch planner to cut batches without loading images)."""
+        a, b = self.sequences[index]
+        return int(b - a)
 
     def _load_sample(self, sequence_index, index):
         s = _transform_to_pose_sample(

@@ -380,14 +380,11 @@ def make_pose_estimation_loaders(
         dataset_weight_by_index=(
             None if loss_weights is None else (lambda i: loss_weights[i])
         ),
-        # Seeded runs default to ONE producer so the batch stream is
-        # deterministic; multi-worker composition depends on thread
-        # interleaving. Pass num_workers explicitly to trade that off.
-        num_workers=(
-            num_workers
-            if num_workers is not None
-            else (1 if seed is not None else utils.num_workers())
-        ),
+        # Batch composition is pre-planned by a single sampler consumer and
+        # dispatched round-robin (data/loader.py), so the batch stream is
+        # deterministic for ANY worker count — seeded runs no longer force
+        # one producer.
+        num_workers=(num_workers if num_workers is not None else utils.num_workers()),
     )
 
     _, test_set = make_aflw2k3d_datasets(transform=transform)

@@ -30,6 +30,9 @@ def main():
     parser.add_argument("--batchsize", type=int, default=64)
     parser.add_argument("--raw", action="store_true", default=False,
                         help="raw-JPEG fast path (native threaded batch decode)")
+    parser.add_argument("--workers", type=int, default=1, help="loader workers")
+    parser.add_argument("--worker-type", default="auto",
+                        choices=("auto", "thread", "process"))
     args = parser.parse_args()
 
     import h5py
@@ -111,6 +114,8 @@ def main():
         sampler=sampler,
         batchsize=args.batchsize,
         pad_size=pad,
+        num_workers=args.workers,
+        worker_type=args.worker_type,
     )
     it = iter(loader)
     next(it)  # warm up the prefetch thread
@@ -122,7 +127,8 @@ def main():
     total = steps * args.batchsize
     mode = "raw-jpeg native pack" if args.raw else "per-sample decode"
     print(f"pack:     {total / dt:8.0f} samples/s (FusedBatchLoader end-to-end, "
-          f"batch {args.batchsize}, pad {pad}, {mode})")
+          f"batch {args.batchsize}, pad {pad}, {mode}, "
+          f"{args.workers} {loader.worker_type} worker(s))")
 
 
 if __name__ == "__main__":

@@ -96,28 +96,62 @@ def test_pack_fused_batch_oversized_image_grows_padding(tmp_path):
     assert not batch["image"][0, 100:, :, 0].any()
 
 
-def test_fused_batch_loader_multiworker(tmp_path):
+def _make_loader(tmp_path, num_workers, worker_type, stop_after=64, seed=3):
     p1 = str(tmp_path / "mw.h5")
-    write_pose_h5(p1, 12, seed=4)
+    if not os.path.isfile(p1):
+        write_pose_h5(p1, 12, seed=4)
     ds1 = Hdf5PoseDataset(p1, dataclass=Tag.ONLY_POSE)
     concat = ConcatDataset([ds1])
-    sampler = make_concat_dataset_item_sampler(concat, [1.0], stop_after=64, seed=3)
-    loader = FusedBatchLoader(
+    sampler = make_concat_dataset_item_sampler(concat, [1.0], stop_after=stop_after, seed=seed)
+    return FusedBatchLoader(
         concat,
         tags_by_dataset_index=lambda i: Tag.ONLY_POSE,
         tag_to_id={Tag.ONLY_POSE: 0},
         sampler=sampler,
         batchsize=8,
         pad_size=64,
-        num_workers=3,
+        num_workers=num_workers,
+        worker_type=worker_type,
     )
+
+
+def test_fused_batch_loader_multiworker(tmp_path):
+    loader = _make_loader(tmp_path, num_workers=3, worker_type="thread")
     batches = list(iter(loader))
-    # 64 samples / 8 per batch; partial batches at stream end (up to one per
-    # worker) are dropped, like the reference DataLoader's drop_last.
-    assert 5 <= len(batches) <= 8
+    # 64 samples / 8 per batch: the planner cuts exact batches up front, so
+    # nothing is dropped at stream end regardless of worker count.
+    assert len(batches) == 8
     for b in batches:
         assert b["image"].shape == (8, 64, 64, 1)
         assert b["pose"].shape == (8, 4)
+
+
+def test_fused_batch_loader_deterministic_across_workers(tmp_path):
+    """Batch composition is pre-planned: the stream is bit-identical for any
+    worker count and worker type (fixes the determinism/multi-worker
+    exclusivity of earlier revisions)."""
+    ref = list(iter(_make_loader(tmp_path, 1, "thread")))
+    for nw, wt in ((3, "thread"), (2, "process")):
+        got = list(iter(_make_loader(tmp_path, nw, wt)))
+        assert len(got) == len(ref), (nw, wt)
+        for a, b in zip(ref, got):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=f"{nw}/{wt}/{k}")
+
+
+def test_fused_batch_loader_process_workers_error_propagates(tmp_path):
+    loader = _make_loader(tmp_path, num_workers=2, worker_type="process")
+    # Poison the dataset AFTER construction: the pickled copy in the worker
+    # raises on load and the exception must surface in the parent.
+    loader.ds.datasets[0].transform = _Boom()
+    with pytest.raises(Exception, match="boom"):
+        list(iter(loader))
+
+
+class _Boom:
+    def __call__(self, sample):
+        raise RuntimeError("boom")
 
 
 def test_make_pose_estimation_loaders_registry(tmp_path, monkeypatch):
@@ -190,8 +224,8 @@ def test_raw_jpeg_fast_path_matches_decoded(tmp_path):
 
 def test_seeded_loader_stream_is_deterministic(tmp_path, monkeypatch):
     """make_pose_estimation_loaders(seed=N) must yield an identical batch
-    stream across constructions (seeded runs default to ONE producer; the
-    multi-worker default applies only to unseeded runs)."""
+    stream across constructions AND across worker counts (batch composition
+    is pre-planned; workers only execute plans)."""
     import neuralnet_tracker_traincode_tpu.pipelines as pipelines
 
     d = tmp_path / "det_datadir"
@@ -199,17 +233,19 @@ def test_seeded_loader_stream_is_deterministic(tmp_path, monkeypatch):
     write_pose_h5(str(d / "aflw2k.h5"), 640, seed=9)
     monkeypatch.setenv("DATADIR", str(d))
 
-    def first_batches(n=3):
+    def first_batches(n=3, num_workers=1):
         loader, _, _, _, _ = pipelines.make_pose_estimation_loaders(
             inputsize=129, batchsize=8, datasets=[pipelines.Id.AFLW2k3d],
-            enable_image_aug=False, seed=777,
+            enable_image_aug=False, seed=777, num_workers=num_workers,
         )
-        assert loader.num_workers == 1  # seeded => deterministic single producer
+        loader.worker_type = "thread"  # worker-count determinism; process
+        # backend covered in test_fused_batch_loader_deterministic_across_workers
         it = iter(loader)
         return [next(it) for _ in range(n)]
 
     a = first_batches()
-    b = first_batches()
-    for ba, bb in zip(a, b):
-        for k in ba:
-            np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+    for nw in (1, 3):
+        b = first_batches(num_workers=nw)
+        for ba, bb in zip(a, b):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k], err_msg=f"nw={nw}/{k}")
