@@ -157,6 +157,11 @@ def main():
         "--no-pointhead", action="store_false", default=True, dest="with_pointhead"
     )
     parser.add_argument("--with-nll-loss", default=False, action="store_true")
+    parser.add_argument(
+        "--seed", type=int, default=None,
+        help="seed model init, augmentation RNG and the sampler stream "
+             "(None: fixed init, random aug/sampling per run)",
+    )
     parser.add_argument("--raug", default=30, type=float, dest="rotation_aug_angle")
     parser.add_argument("--no-imgaug", default=True, action="store_false", dest="with_image_aug")
     parser.add_argument("--blurpool", default=False, action="store_true", dest="with_blurpool")
@@ -215,6 +220,7 @@ def main():
         rotation_aug_angle=args.rotation_aug_angle,
         roi_override=args.roi_override,
         pad_size=args.pad_size,
+        seed=args.seed,
     )
 
     model = NetworkWithPointHead(
@@ -236,8 +242,11 @@ def main():
         aug=aug_cfg,
     )
     trainer = PoseTrainer(model, criterion, cfg, LABEL_CATEGORIES)
-    state = trainer.init_state(jax.random.PRNGKey(1234), (args.input_size, args.input_size, 1))
-    rng = jax.random.PRNGKey(int.from_bytes(os.urandom(4), "little"))
+    init_seed = 1234 if args.seed is None else args.seed
+    state = trainer.init_state(jax.random.PRNGKey(init_seed), (args.input_size, args.input_size, 1))
+    rng = jax.random.PRNGKey(
+        int.from_bytes(os.urandom(4), "little") if args.seed is None else args.seed + 1
+    )
 
     model_out_dir = join(args.outdir, model.name_tag)
     os.makedirs(model_out_dir, exist_ok=True)

@@ -147,6 +147,120 @@ def test_stability_cli(trained_ckpt, datadir, tmp_path, monkeypatch):
         np.seterr(**old_err)
 
 
+@pytest.fixture(scope="module")
+def nll_ckpt(datadir, tmp_path_factory):
+    """Tiny NLL-enabled training run: uncertainty heads for the
+    uncertainty-correlation stability mode."""
+    outdir = tmp_path_factory.mktemp("cli_run_nll")
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setenv("DATADIR", str(datadir))
+
+        import train_poseestimator
+
+        mp.setattr(sys, "argv", [
+            "train_poseestimator.py", "--ds", "aflw2k", "--epochs", "1",
+            "--batchsize", "16", "--samples-per-epoch", "64",
+            "--outdir", str(outdir), "--no-imgaug", "--with-nll-loss",
+        ])
+        train_poseestimator.main()
+    finally:
+        mp.undo()
+    ckpt = outdir / "NetworkWithPointHead_mobilenetv1" / "best.ckpt"
+    assert ckpt.exists()
+    return ckpt
+
+
+def _pin_quat_head_near_identity(ckpt_path, out_path):
+    """Copy a checkpoint with the quaternion head pinned near identity.
+
+    The variation-resist analysis Karcher-means PREDICTED rotations and (like
+    the reference, `evaluate_stability.py:130-656` / `eval.py:447-459`)
+    assumes they fall inside the pi/2 convergence ball — true for real
+    checkpoints, not for a 1-epoch smoke model. Pinning restores the
+    precondition while the full chain still runs the network."""
+    import jax.numpy as jnp
+
+    from neuralnet_tracker_traincode_tpu.models import io as model_io
+    from neuralnet_tracker_traincode_tpu.ops.mathfn import inv_smoothclip0
+
+    model, variables = model_io.load_posenet(str(ckpt_path))
+    params = variables["params"]
+    q = dict(params["quatnet"])
+    lin = dict(q["linear"])
+    lin["kernel"] = jnp.asarray(lin["kernel"]) * 0.01
+    lin["bias"] = jnp.asarray(
+        [0.0, 0.0, 0.0, float(inv_smoothclip0(jnp.asarray(1.0)))], jnp.float32
+    )
+    q["linear"] = lin
+    params = {**params, "quatnet": q}
+    model_io.save_model(model, {**variables, "params": params}, str(out_path))
+    return out_path
+
+
+def test_stability_cli_remaining_modes(trained_ckpt, nll_ckpt, datadir, tmp_path, monkeypatch):
+    """closed-loop (+ blink-window MSE), uncertainty-correlation and
+    variation-resist — the three modes round 2 left unexecuted
+    (reference: `scripts/evaluate_stability.py:130-656`)."""
+    import h5py
+
+    monkeypatch.setenv("DATADIR", str(datadir))
+    if not (datadir / "myself.h5").exists():
+        write_pose_h5(str(datadir / "myself.h5"), 24)
+    # replicantface-stability: 4 'individuals' x 6 expression variations.
+    stab = datadir / "replicant-face-stability-test-wider.h5"
+    if not stab.exists():
+        write_pose_h5(str(stab), 24, seed=31)
+        with h5py.File(str(stab), "r+") as f:
+            f.create_dataset("sequence_starts", data=np.arange(0, 25, 6, dtype=np.int32))
+
+    import evaluate_stability
+
+    outdir = tmp_path / "stab2"
+    outdir.mkdir()
+    old_err = np.seterr()
+    try:
+        evaluate_stability.main([
+            "closed-loop", str(trained_ckpt), "--outdir", str(outdir),
+            "--max-samples", "12",
+        ])
+        assert (outdir / "tracking_crop1.0.pdf").exists()
+
+        evaluate_stability.main([
+            "uncertainty-correlation", str(nll_ckpt), "--outdir", str(outdir),
+            "--max-samples", "16",
+        ])
+        assert (outdir / "uncertainty_vs_err.pdf").exists()
+
+        pinned = _pin_quat_head_near_identity(trained_ckpt, tmp_path / "pinned.ckpt")
+        evaluate_stability.main([
+            "variation-resist", str(pinned), "--outdir", str(outdir),
+        ])
+        assert (outdir / "variation_resist.pdf").exists()
+    finally:
+        np.seterr(**old_err)
+
+
+def test_blink_window_mse_math(capsys):
+    """report_blink_stability's +-5-frame window RMSE on a crafted sequence
+    (the bundled recordings' windows are too long for synthetic smoke data,
+    so the math path is pinned directly; reference
+    `evaluate_stability.py:report_blink_stability`)."""
+    import evaluate_stability as es
+
+    n = 40
+    hpb = np.zeros((n, 3))
+    hpb[20:, :] = np.pi / 18  # 10-degree jump inside the window
+    poses = es.Poses(hpb=hpb, xy=np.zeros((n, 2)), sz=np.zeros((n,)))
+    es.report_blink_stability([poses], blinks=[(18, 22)])
+    out = capsys.readouterr().out
+    assert "hpb" in out and "10.00" in out  # |jump| across both window edges
+
+    # Too-short sequences degrade gracefully (no IndexError).
+    es.report_blink_stability([poses], blinks=[(2, 39)])
+    assert "too short" in capsys.readouterr().out
+
+
 def _write_widerface_h5(path, n, seed=0):
     import h5py
 
