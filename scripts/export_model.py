@@ -83,6 +83,10 @@ def main():
     parser.add_argument("--calib-ds", type=str, default="aflw2k3d",
                         help="dataset name or .h5 path for quantization calibration")
     parser.add_argument("--calib-samples", type=int, default=256)
+    parser.add_argument("--torch-checkpoint", type=str, default=None,
+                        help="ALSO write a reference-format torch checkpoint "
+                             "({state_dict, class_name, config}) loadable by the "
+                             "reference implementation's load_model")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -93,6 +97,12 @@ def main():
     model, variables = model_io.load_posenet(args.checkpoint)
     variables = onnx_export.clear_denormals(variables)
     out_path = args.output or splitext(args.checkpoint)[0] + ".onnx"
+
+    if args.torch_checkpoint:
+        from neuralnet_tracker_traincode_tpu.models import torch_export
+
+        torch_export.save_reference_checkpoint(args.torch_checkpoint, model, variables)
+        print(f"Wrote reference-format torch checkpoint {args.torch_checkpoint}")
 
     from neuralnet_tracker_traincode_tpu.models.localizer import LocalizerNet
 
