@@ -14,9 +14,6 @@ while decorrelating samples (branch-free, jit-friendly). Images are floats in
 [0, 1], shape (B, H, W, C).
 """
 
-import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

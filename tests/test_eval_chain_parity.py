@@ -29,7 +29,6 @@ import pytest
 torch = pytest.importorskip("torch")
 
 import h5py
-import jax.numpy as jnp
 
 import refstubs
 
