@@ -218,8 +218,21 @@ def _process_worker_main(ds, in_q, out_q, batchsize, pad_size, decode_threads,
     # passed allow_pad_growth explicitly, so jax is not even imported).
     os.environ["JAX_PLATFORMS"] = "cpu"
     try:
+        import queue as _q
+
         while True:
-            plan = in_q.get()
+            try:
+                plan = in_q.get(timeout=5)
+            except _q.Empty:
+                # Orphan watchdog: daemon=True only covers the parent's
+                # NORMAL exit. A SIGKILLed trainer reparents its workers to
+                # init, where they would idle forever holding the parent's
+                # inherited file descriptors (including e.g. accelerator
+                # tunnel sockets, which keeps the stale client connection
+                # half-open). Exit when the parent is gone.
+                if os.getppid() == 1:
+                    return
+                continue
             if plan is None:
                 return
             try:
