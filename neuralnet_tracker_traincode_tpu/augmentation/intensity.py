@@ -7,11 +7,12 @@ Contract: the kornia pipeline of `pipelines.py:508-528` and
            gaussian blur 5x5 sigma 1.5 p=.1
   stage 2: stacked gaussian noise sigma in {4,16,32,64}/255 at p=.25^k, clip.
 
-Deviation from kornia: kornia's random_apply=4 picks 4 ops per BATCH then
-applies each with its per-sample probability. Here every op is gated
-per-sample with probability p * 4/6, preserving the marginal application rate
-while decorrelating samples (branch-free, jit-friendly). Images are floats in
-[0, 1], shape (B, H, W, C).
+Sampling matches kornia's AugmentationSequential: `random_apply=4` draws a
+random 4-subset of the 6 ops in random order per BATCH (one `lax.switch` per
+slot under a `fori_loop` — exactly 4 ops execute), then each selected op
+gates per sample with its own full probability. The per-op math is
+kornia-exact and pinned against numpy oracles (tests/test_intensity_oracles).
+Images are floats in [0, 1], shape (B, H, W, C).
 """
 
 import jax
@@ -111,39 +112,60 @@ def gaussian_blur(images: jax.Array, ksize: int = 5, sigma: float = 1.5) -> jax.
     return x
 
 
+def _stage1_op(op_id: jax.Array, key: jax.Array, x: jax.Array) -> jax.Array:
+    """Apply op `op_id` (traced) with its kornia per-sample probability."""
+    B = x.shape[0]
+    k_mask, k_param = jax.random.split(key)
+
+    def gated(p, fn):
+        m = jax.random.bernoulli(k_mask, p, (B,))
+        return _per_sample_where(m, fn(), x)
+
+    def do_equalize(x):
+        return gated(0.2, lambda: equalize(x))
+
+    def do_posterize(x):
+        # kornia PosterizeGenerator truncates a continuous uniform(4, 6) draw
+        # to int32, so bits land in {4, 5} (6 with probability zero).
+        bits = jnp.floor(
+            jax.random.uniform(k_param, (B,), minval=4.0, maxval=6.0)
+        ).astype(jnp.int32)
+        return gated(0.01, lambda: posterize(x, bits))
+
+    def do_gamma(x):
+        gamma = jax.random.uniform(k_param, (B,), minval=0.5, maxval=2.0)
+        return gated(0.2, lambda: adjust_gamma(x, gamma))
+
+    def do_contrast(x):
+        contrast = jax.random.uniform(k_param, (B,), minval=0.7, maxval=1.5)
+        return gated(0.2, lambda: adjust_contrast(x, contrast))
+
+    def do_brightness(x):
+        brightness = jax.random.uniform(k_param, (B,), minval=0.7, maxval=1.5)
+        return gated(0.2, lambda: adjust_brightness(x, brightness))
+
+    def do_blur(x):
+        return gated(0.1, lambda: gaussian_blur(x, 5, 1.5))
+
+    return jax.lax.switch(
+        op_id, [do_equalize, do_posterize, do_gamma, do_contrast, do_brightness, do_blur], x
+    )
+
+
 def intensity_augmentation_stage1(
-    key: jax.Array, images: jax.Array, random_apply_fraction: float = 4.0 / 6.0
+    key: jax.Array, images: jax.Array, random_apply: int = 4
 ) -> jax.Array:
-    """Equalize/posterize/gamma/contrast/brightness/blur with per-sample gating."""
-    B = images.shape[0]
-    keys = jax.random.split(key, 12)
-    f = random_apply_fraction
+    """Equalize/posterize/gamma/contrast/brightness/blur, kornia
+    AugmentationSequential(random_apply=4) semantics: random op subset +
+    order per batch, per-sample gating inside each selected op."""
+    k_perm, k_ops = jax.random.split(key)
+    perm = jax.random.permutation(k_perm, 6)
 
-    x = images
-    m = jax.random.bernoulli(keys[0], 0.2 * f, (B,))
-    x = _per_sample_where(m, equalize(x), x)
+    def body(i, x):
+        op = perm[i]
+        return _stage1_op(op, jax.random.fold_in(k_ops, op), x)
 
-    m = jax.random.bernoulli(keys[1], 0.01 * f, (B,))
-    # kornia PosterizeGenerator truncates a continuous uniform(4, 6) draw to
-    # int32, so bits land in {4, 5} (6 with probability zero).
-    bits = jnp.floor(jax.random.uniform(keys[2], (B,), minval=4.0, maxval=6.0)).astype(jnp.int32)
-    x = _per_sample_where(m, posterize(x, bits), x)
-
-    m = jax.random.bernoulli(keys[3], 0.2 * f, (B,))
-    gamma = jax.random.uniform(keys[4], (B,), minval=0.5, maxval=2.0)
-    x = _per_sample_where(m, adjust_gamma(x, gamma), x)
-
-    m = jax.random.bernoulli(keys[5], 0.2 * f, (B,))
-    contrast = jax.random.uniform(keys[6], (B,), minval=0.7, maxval=1.5)
-    x = _per_sample_where(m, adjust_contrast(x, contrast), x)
-
-    m = jax.random.bernoulli(keys[7], 0.2 * f, (B,))
-    brightness = jax.random.uniform(keys[8], (B,), minval=0.7, maxval=1.5)
-    x = _per_sample_where(m, adjust_brightness(x, brightness), x)
-
-    m = jax.random.bernoulli(keys[9], 0.1 * f, (B,))
-    x = _per_sample_where(m, gaussian_blur(x, 5, 1.5), x)
-    return x
+    return jax.lax.fori_loop(0, random_apply, body, images)
 
 
 def intensity_augmentation_noise(key: jax.Array, images: jax.Array) -> jax.Array:

@@ -26,11 +26,11 @@ from tests.test_augmentation_pipeline import _make_batch
 
 # Generated with rng=RandomState(12345), key=PRNGKey(20260816), B=4, src=96,
 # inputsize=129 (see _golden_inputs below). float32 CPU values.
-GOLDEN_X_MEAN = 0.0897088497877121
-GOLDEN_X_STD = 0.23109863698482513
+GOLDEN_X_MEAN = -0.014357921667397022
+GOLDEN_X_STD = 0.25965696573257446
 GOLDEN_X_PATCH = np.asarray(
-    [2.9873312e-01, 7.1994007e-02, -7.5272262e-02, -1.0430813e-05,
-     8.3883584e-02, 2.1956563e-01, 3.6387795e-01, 4.0454680e-01], np.float32,
+    [0.14384252, -0.08289856, -0.23016804, -0.15490496,
+     -0.0710116, 0.06466919, 0.20898038, 0.24965107], np.float32,
 )
 GOLDEN_COORD = np.asarray(
     [[0.03717756, 0.08986568, 1.7135671],
