@@ -220,27 +220,44 @@ def _process_worker_main(ds, in_q, out_q, batchsize, pad_size, decode_threads,
     try:
         import queue as _q
 
+        def orphaned() -> bool:
+            # Orphan watchdog: daemon=True only covers the parent's NORMAL
+            # exit. A SIGKILLed trainer reparents its workers to init, where
+            # they would block forever holding the parent's inherited file
+            # descriptors (including e.g. accelerator tunnel sockets, which
+            # keeps the stale client connection half-open). Both blocking
+            # sides (idle get AND full-queue put) must poll for this.
+            return os.getppid() == 1
+
+        def put_or_exit(item) -> bool:
+            while True:
+                try:
+                    out_q.put(item, timeout=5)
+                    return True
+                except _q.Full:
+                    if orphaned():
+                        # Don't let interpreter exit block on joining the
+                        # queue's feeder thread against a dead reader.
+                        out_q.cancel_join_thread()
+                        return False
+
         while True:
             try:
                 plan = in_q.get(timeout=5)
             except _q.Empty:
-                # Orphan watchdog: daemon=True only covers the parent's
-                # NORMAL exit. A SIGKILLed trainer reparents its workers to
-                # init, where they would idle forever holding the parent's
-                # inherited file descriptors (including e.g. accelerator
-                # tunnel sockets, which keeps the stale client connection
-                # half-open). Exit when the parent is gone.
-                if os.getppid() == 1:
+                if orphaned():
                     return
                 continue
             if plan is None:
                 return
             try:
-                out_q.put(_produce_batch(
+                batch = _produce_batch(
                     ds, plan, batchsize, pad_size, decode_threads, allow_pad_growth
-                ))
+                )
             except Exception as e:  # forward to the parent consumer
-                out_q.put(e)
+                put_or_exit(e)
+                return
+            if not put_or_exit(batch):
                 return
     except (KeyboardInterrupt, EOFError, BrokenPipeError):
         pass

@@ -18,10 +18,10 @@ fi
 
 for SEED in 1 2 3; do
   OUT="$WORK/run_seed$SEED"
-  python "$REPO/scripts/train_poseestimator.py" \
+  python -u "$REPO/scripts/train_poseestimator.py" \
     --ds aflw2k --epochs "$EPOCHS" --batchsize 128 --samples-per-epoch 10240 \
     --outdir "$OUT" --with-nll-loss --with-swa --seed "$SEED"
-  python "$REPO/scripts/evaluate_pose_network.py" \
+  python -u "$REPO/scripts/evaluate_pose_network.py" \
     "$OUT/NetworkWithPointHead_mobilenetv1/best.ckpt" --ds aflw2k3d \
     --json "$WORK/metrics_seed$SEED.json"
 done
