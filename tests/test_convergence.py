@@ -85,8 +85,9 @@ def test_convergence_synthetic(tmp_path):
     geo = rows["Geodesic°"][0]
     nme = rows.get("NME3d%", rows.get("NME%", [float("nan")]))[0]
     print(f"convergence: geodesic {geo:.2f} deg, NME3d {nme:.2f}%")
-    # Measured (docs/CONVERGENCE.md): 24 epochs reach geodesic 12.6deg /
-    # NME3d 12.2%; the 16-epoch default lands around 14deg/13%. Untrained:
-    # ~163deg / 54%. Thresholds carry headroom for seed/hardware variation.
-    assert geo < 25.0, geo
-    assert nme < 20.0, nme
+    # 3-seed band at the 16-epoch default (scripts/convergence_band.sh,
+    # docs/CONVERGENCE.md): geodesic 11.28/11.64/12.31 deg, NME3d
+    # 12.02/12.38/12.50%. Untrained: ~163 deg / 54%. Thresholds are
+    # band-max x ~1.3, so a 1.3x regression fails (round-2 verdict, weak #5).
+    assert geo < 16.0, geo
+    assert nme < 16.0, nme
