@@ -65,7 +65,7 @@ def _face_vertices() -> np.ndarray:
 
     rnd = np.random.RandomState(seed=123456)
     if os.environ.get("BFM_PATH"):
-        verts = FullBFMModel().scaled_vertices
+        verts = FullBFMModel(os.environ["BFM_PATH"]).scaled_vertices
         verts = verts[rnd.choice(len(verts), size=5000)]
     else:
         verts = BFMModel().keypts
