@@ -350,7 +350,7 @@ class FusedBatchLoader:
             yield BatchPlan(indices, tag_ids, weights)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        if self.worker_type == "process" and self.num_workers > 1:
+        if self.worker_type == "process":
             yield from self._iter_process_workers()
         else:
             yield from self._iter_thread_workers()
@@ -361,7 +361,6 @@ class FusedBatchLoader:
         W = self.num_workers
         decode_threads = max(1, (os.cpu_count() or 1) // W)
         plans = self.plan_batches()
-        plan_lock = threading.Lock()
         per_worker = max(2, self.prefetch // W)
         in_qs = [queue.Queue(maxsize=per_worker) for _ in range(W)]
         out_qs = [queue.Queue(maxsize=per_worker) for _ in range(W)]
@@ -383,6 +382,10 @@ class FusedBatchLoader:
                     continue
             return False
 
+        # Sampler/planner errors happen on the feeder thread; they must reach
+        # the consumer instead of reading as a clean end-of-stream.
+        feeder_error = [None]
+
         def feeder():
             # Round-robin dispatch preserves global batch order.
             w = 0
@@ -391,6 +394,8 @@ class FusedBatchLoader:
                     if not put_with_cancel(in_qs[w], plan):
                         return
                     w = (w + 1) % W
+            except Exception as e:
+                feeder_error[0] = e
             finally:
                 for q_ in in_qs:
                     put_with_cancel(q_, stop)
@@ -434,6 +439,10 @@ class FusedBatchLoader:
             while True:
                 item = out_qs[w].get()
                 if item is stop:
+                    # Dispatch and read-back share the round-robin order, so
+                    # the sentinel arrives exactly after the last good batch.
+                    if feeder_error[0] is not None:
+                        raise feeder_error[0]
                     return
                 if isinstance(item, Exception):
                     raise item
@@ -481,6 +490,7 @@ class FusedBatchLoader:
         plans = self.plan_batches()
         sent = [0] * W
         done_feeding = threading.Event()
+        feeder_error = [None]
 
         def feeder():
             w = 0
@@ -496,6 +506,8 @@ class FusedBatchLoader:
                     if cancel.is_set():
                         return
                     w = (w + 1) % W
+            except Exception as e:
+                feeder_error[0] = e
             finally:
                 done_feeding.set()
                 for q_ in in_qs:
@@ -528,6 +540,8 @@ class FusedBatchLoader:
                 except queue.Empty:
                     if (done_feeding.is_set() and received[w] >= sent[w]
                             and not feeder_t.is_alive()):
+                        if feeder_error[0] is not None:
+                            raise feeder_error[0]
                         return  # finite sampler exhausted
                     if not procs[w].is_alive():
                         raise RuntimeError(

@@ -87,17 +87,7 @@ def _resnet18(sd, params: Dict, stats: Dict):
     for stage in range(4):
         for b in range(n_blocks[stage]):
             tprefix = f"convnet.layers.{4 + stage}.{b}"
-            bp, bs = {}, {}
-            c1_key = tprefix + ".conv1.weight"
-            if c1_key not in sd:
-                c1_key = tprefix + ".conv1.1.weight"
-            bp["conv1"] = {"kernel": _conv(sd[c1_key])}
-            _bn(tprefix + ".bn1", sd, bp, bs, "bn1")
-            bp["conv2"] = {"kernel": _conv(sd[tprefix + ".conv2.weight"])}
-            _bn(tprefix + ".bn2", sd, bp, bs, "bn2")
-            if tprefix + ".downsample.0.weight" in sd:
-                bp["downsample_conv"] = {"kernel": _conv(sd[tprefix + ".downsample.0.weight"])}
-                _bn(tprefix + ".downsample.1", sd, bp, bs, "downsample_bn")
+            bp, bs = _basic_block(sd, tprefix)
             name = f"layer{stage + 1}_{b}"
             p[name] = bp
             s[name] = bs

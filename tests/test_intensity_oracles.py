@@ -21,10 +21,12 @@ Oracle sources (public kornia semantics):
    reflect padding.
  - gaussian noise: x + N(0, std^2), no intermediate clip; final OnlyClip.
 
-Known remaining deviations (documented in docs/MIGRATION.md): the
-random_apply=4 batch-level op subset + random op order is replaced by
-per-sample gating at p*4/6 in fixed order; the stacked noise layers are
-drawn as one gaussian of combined variance (statistically identical).
+Sampling scheme: the batch-level random_apply=4 subset + random op order is
+implemented faithfully (`intensity_augmentation_stage1` draws a random 4-op
+subset in random order per batch, `lax.switch` under `fori_loop`); the one
+remaining deviation (documented in docs/MIGRATION.md) is that the stacked
+noise layers are drawn as one gaussian of combined variance (statistically
+identical).
 """
 
 import numpy as np

@@ -154,6 +154,46 @@ class _Boom:
         raise RuntimeError("boom")
 
 
+class _ExplodingSampler:
+    """Yields a few valid indices, then fails (sampler error mid-stream)."""
+
+    def __init__(self, n_good, n_items):
+        self.n_good = n_good
+        self.n_items = n_items
+
+    def __iter__(self):
+        for i in range(self.n_good):
+            yield i % self.n_items
+        raise RuntimeError("sampler exploded")
+
+
+@pytest.mark.parametrize("nw,wt", [(1, "thread"), (2, "thread"), (2, "process")])
+def test_sampler_error_reaches_consumer(tmp_path, nw, wt):
+    """A sampler/planner exception on the feeder thread must propagate to the
+    consumer, not read as a clean end-of-stream (silent data truncation)."""
+    loader = _make_loader(tmp_path, num_workers=nw, worker_type=wt)
+    loader.sampler = _ExplodingSampler(16, len(loader.ds))
+    got = []
+    with pytest.raises(RuntimeError, match="sampler exploded"):
+        for b in iter(loader):
+            got.append(b)
+    # The two fully-planned batches still arrive before the error surfaces.
+    assert len(got) == 2
+
+
+def test_single_process_worker_honors_backend(tmp_path):
+    """worker_type='process' runs the process backend even at one worker, so
+    a request for process isolation (decode CPU off the trainer process) is
+    never silently downgraded to threads."""
+    loader = _make_loader(tmp_path, num_workers=1, worker_type="process")
+    assert loader.worker_type == "process"
+    ref = [b["image"] for b in _make_loader(tmp_path, 1, "thread")]
+    got = [b["image"] for b in loader]
+    assert len(got) == len(ref) == 8
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_make_pose_estimation_loaders_registry(tmp_path, monkeypatch):
     # Wire a synthetic aflw2k.h5 through the real registry entry point.
     datadir = tmp_path / "data"
