@@ -228,7 +228,6 @@ def _run_our_eval(model, variables, alignment, crop_backend="cv2"):
     return out
 
 
-@pytest.mark.slow
 def test_validation_samples_identical(datadir):
     """Both validation stacks (HDF5 read, name mapping, half-pixel offset,
     PutRoiFromLandmarks) must produce identical sample tensors before any
@@ -251,6 +250,15 @@ def test_validation_samples_identical(datadir):
             assert np.abs(rv - ov).max() < 1e-5, (
                 f"sample {i} field {k}: delta {np.abs(rv - ov).max()}"
             )
+
+
+def test_eval_chain_parity_sentinel(datadir, shared_model):
+    """Default-tier sentinel: the unaligned full-chain case runs on EVERY
+    test invocation so an eval-stack regression cannot hide until the slow
+    tier is next exercised (round-2 verdict, weak #7). The aligned variants
+    (perspective, opal23) stay in the slow tier; `opal_model` is only used
+    by those, so the sentinel passes `shared_model` in its place."""
+    test_full_eval_chain_parity(datadir, shared_model, shared_model, "none")
 
 
 @pytest.mark.slow
