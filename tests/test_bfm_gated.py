@@ -271,3 +271,136 @@ def test_closed_eyes_converter_missing_package(monkeypatch):
             monkeypatch.delitem(sys.modules, name)
     with pytest.raises(SystemExit, match="face3drotationaugmentation"):
         script.main("in.zip", "out.h5", 1, 0.0)
+
+
+@pytest.fixture
+def fitted_pose_h5(tmp_path):
+    """Synthetic fitted dataset in the layout create_largepose_dataset.py
+    consumes: images/rois + a 2dfit_v3 group (as written by fit_face_model.py)
+    + the MTCNN has_one_face field."""
+    import h5py
+
+    from neuralnet_tracker_traincode_tpu.data.pose_dataset import create_pose_dataset
+
+    n = 5
+    rnd = np.random.RandomState(7)
+    path = str(tmp_path / "fitted.h5")
+    quats = rnd.randn(n, 4).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    coords = (rnd.rand(n, 3).astype(np.float32) * 100) + 50
+    with h5py.File(path, "w") as f:
+        images = create_pose_dataset(f, FieldCategory.image, count=n)
+        for i in range(n):
+            images[i] = np.full((16, 16), i * 10, np.uint8)
+        # roi diagonals: index 1 is below the 196 px default threshold.
+        rois = np.asarray(
+            [[0, 0, 300, 10], [0, 0, 100, 10], [0, 0, 300, 10],
+             [0, 0, 300, 10], [0, 0, 300, 10]], np.float32)
+        create_pose_dataset(f, FieldCategory.roi, count=n, dtype=np.float32, data=rois)
+        # index 3 fails the single-face filter.
+        f.create_dataset("has_one_face", data=np.asarray([1, 1, 1, 0, 1], "?"))
+        g = f.create_group("2dfit_v3")
+        create_pose_dataset(g, FieldCategory.quat, data=quats)
+        create_pose_dataset(g, FieldCategory.xys, data=coords)
+        create_pose_dataset(g, FieldCategory.points, name="pt3d_68",
+                            data=rnd.rand(n, 68, 3).astype(np.float32) * 200)
+        create_pose_dataset(g, FieldCategory.general, name="shapeparams",
+                            dtype=np.float16, data=rnd.randn(n, 50).astype(np.float16))
+    return path, quats, coords
+
+
+def _stub_rotaug_package(monkeypatch, written, augment_calls, fans_per_sample=2):
+    pkg = types.ModuleType("face3drotationaugmentation")
+
+    class FakeWriter:
+        jpgquality = None
+
+        def write(self, name, generated):
+            written.append((name, generated))
+
+    @contextlib.contextmanager
+    def fake_dataset_writer(fn):
+        yield FakeWriter()
+
+    def fake_augment_sample(*, rng, angle_step, prob_closed_eyes, prob_spotlight, sample):
+        assert isinstance(rng, np.random.RandomState)
+        augment_calls.append(
+            dict(sample, angle_step=angle_step, prob_closed_eyes=prob_closed_eyes,
+                 prob_spotlight=prob_spotlight))
+        for k in range(fans_per_sample):
+            yield {"fan": k}
+
+    pkg.dataset_writer = fake_dataset_writer
+    pkg.augment_sample = fake_augment_sample
+    monkeypatch.setitem(sys.modules, "face3drotationaugmentation", pkg)
+
+
+def test_create_largepose_dataset_with_stubbed_package(monkeypatch, tmp_path, fitted_pose_h5):
+    """End-to-end over the synthetic fit: frame selection (diameter +
+    has_one_face + curated bad file), fit-group promotion, and the rotaug
+    sample convention handed to the external package."""
+    from scipy.spatial.transform import Rotation
+
+    import create_largepose_dataset as script
+
+    path, quats, coords = fitted_pose_h5
+    written, augment_calls = [], []
+    _stub_rotaug_package(monkeypatch, written, augment_calls)
+
+    bad_file = tmp_path / "bad.json"
+    bad_file.write_text("[4]")
+    out = str(tmp_path / "aug.h5")
+    script.main([path, out, "--bad-frames", str(bad_file), "--angle-step", "7.5"])
+
+    # Survivors: index 1 too small, index 3 multi-face, index 4 curated away.
+    assert [n for n, _ in written] == ["sample00"] * 2 + ["sample01"] * 2
+    assert [c["angle_step"] for c in augment_calls] == [7.5, 7.5]
+    for call, src in zip(augment_calls, (0, 2)):
+        assert isinstance(call["rot"], Rotation)
+        # Rotation.from_quat normalizes but must preserve the rotation.
+        np.testing.assert_allclose(
+            np.abs(np.dot(call["rot"].as_quat(), quats[src])), 1.0, atol=1e-6)
+        np.testing.assert_allclose(call["xy"], coords[src, :2], atol=1e-5)
+        np.testing.assert_allclose(call["scale"], coords[src, 2], atol=1e-5)
+        assert call["image"].shape in ((16, 16), (16, 16, 3))
+        # constant-valued JPEG round-trips near-exactly
+        np.testing.assert_allclose(call["image"].reshape(-1).astype(float), src * 10, atol=2)
+        assert call["pt3d_68"].shape == (68, 3)
+        assert call["shapeparam"].shape == (50,)
+        assert call["roi"].shape == (4,)
+    # The temporary promoted/filtered files are cleaned up.
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["bad.json", "fitted.h5"]
+
+
+def test_create_largepose_dataset_good_frames_override(monkeypatch, tmp_path, fitted_pose_h5):
+    import create_largepose_dataset as script
+
+    path, _, _ = fitted_pose_h5
+    written, augment_calls = [], []
+    _stub_rotaug_package(monkeypatch, written, augment_calls, fans_per_sample=1)
+    good_file = tmp_path / "good.txt"
+    good_file.write_text("1, 3")  # overrides diameter/has_one_face selection
+    out = str(tmp_path / "aug.h5")
+    script.main([path, out, "--good-frames", str(good_file), "-n", "1"])
+    assert [n for n, _ in written] == ["sample00"]  # -n truncation
+    np.testing.assert_allclose(  # frame index 1
+        augment_calls[0]["image"].reshape(-1).astype(float), 10, atol=2)
+
+
+def test_create_largepose_dataset_missing_package(monkeypatch, tmp_path, fitted_pose_h5):
+    import create_largepose_dataset as script
+
+    path, _, _ = fitted_pose_h5
+    for name in list(sys.modules):
+        if name.startswith("face3drotationaugmentation"):
+            monkeypatch.delitem(sys.modules, name)
+    with pytest.raises(SystemExit, match="face3drotationaugmentation"):
+        script.main([path, str(tmp_path / "aug.h5")])
+
+
+def test_create_largepose_dataset_empty_selection(monkeypatch, tmp_path, fitted_pose_h5):
+    import create_largepose_dataset as script
+
+    path, _, _ = fitted_pose_h5
+    with pytest.raises(SystemExit, match="empty"):
+        script.main([path, str(tmp_path / "aug.h5"), "--min-diameter", "1e9"])
