@@ -34,29 +34,33 @@ REFERENCE_BASELINE_IPS = 3000.0
 BATCH = int(os.environ.get("BENCH_BATCH", 0))
 SRC = int(os.environ.get("BENCH_SRC", 448))
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
+# Optimizer steps fused per device dispatch (lax.scan over stacked batches,
+# `PoseTrainer.train_step_multi`). Per-step cost for this small model is
+# dispatch-latency-dominated through the tunnel; scanning K steps amortizes it.
+SCAN = int(os.environ.get("BENCH_SCAN", 1))
 E2E = bool(os.environ.get("BENCH_E2E"))  # or pass --e2e
 CACHE_DIR = os.path.join(dirname(realpath(__file__)), ".cache", "jax")
 
 
 def orchestrate():
-    """Try batch sizes large->small, each as a subprocess with a timeout."""
+    """Try configs best->cheapest, each as a subprocess with a timeout."""
     import subprocess
 
-    for batch, budget in ((512, 480), (256, 360), (128, 600)):
-        env = dict(os.environ, BENCH_BATCH=str(batch))
+    for batch, scan, budget in ((512, 8, 540), (512, 1, 480), (256, 4, 420), (128, 1, 600)):
+        env = dict(os.environ, BENCH_BATCH=str(batch), BENCH_SCAN=str(scan))
         try:
             out = subprocess.run(
                 [sys.executable, realpath(__file__)],
                 env=env, capture_output=True, text=True, timeout=budget,
             )
         except subprocess.TimeoutExpired:
-            print(f"batch {batch} exceeded {budget}s; falling back", file=sys.stderr)
+            print(f"batch {batch} scan {scan} exceeded {budget}s; falling back", file=sys.stderr)
             continue
         lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if out.returncode == 0 and lines:
             print(lines[-1])
             return
-        print(f"batch {batch} failed rc={out.returncode}", file=sys.stderr)
+        print(f"batch {batch} scan {scan} failed rc={out.returncode}", file=sys.stderr)
     raise SystemExit("all bench configurations failed")
 
 
@@ -226,12 +230,27 @@ def main():
         "dataset_weight": np.ones((BATCH,), np.float32),
         "param_index": np.arange(BATCH, dtype=np.int32),
     }
-    sharded = shard_batch(batch, mesh)
     W = trainer.weight_matrix(50)
     key = jax.random.PRNGKey(7)
 
+    # e2e mode measures the host-bound loader->device pipeline with the plain
+    # per-batch step (the loader, not dispatch, is the bottleneck there).
+    scan = 1 if E2E else SCAN
+    if scan > 1:
+        from neuralnet_tracker_traincode_tpu.parallel.mesh import shard_stacked_batch
+
+        # K distinct batches per dispatch (rolled rows — content must vary a
+        # little, as in real training, though within-dispatch scan iterations
+        # cannot be elided anyway).
+        stacked = {k: np.stack([np.roll(v, i, axis=0) for i in range(scan)]) for k, v in batch.items()}
+        sharded = shard_stacked_batch(stacked, mesh)
+        step = trainer.train_step_multi
+    else:
+        sharded = shard_batch(batch, mesh)
+        step = trainer.train_step
+
     # Warmup / compile
-    state, metrics = trainer.train_step(state, sharded, W, key)
+    state, metrics = step(state, sharded, W, key)
     jax.block_until_ready(metrics["loss"])
 
     # Distinct key per step like real training: the axon runtime elides
@@ -239,11 +258,11 @@ def main():
     # number (measured: same-key aug-only steps report 0.05 ms vs 30 ms real).
     t0 = time.perf_counter()
     for i in range(STEPS):
-        state, metrics = trainer.train_step(state, sharded, W, jax.random.fold_in(key, i))
+        state, metrics = step(state, sharded, W, jax.random.fold_in(key, i))
     jax.block_until_ready(metrics["loss"])
     dt = (time.perf_counter() - t0) / STEPS
     n_chips = len(jax.devices())
-    ips_per_chip = BATCH / dt / n_chips
+    ips_per_chip = scan * BATCH / dt / n_chips
 
     if E2E:
         e2e_ips, workers = bench_e2e(trainer, state, mesh, W, key, BATCH)

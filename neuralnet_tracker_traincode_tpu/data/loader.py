@@ -558,6 +558,47 @@ class FusedBatchLoader:
             atexit.unregister(cleanup)
 
 
+def device_prefetch_stacked(iterator, mesh, steps_per_dispatch: int, size: int = 2):
+    """Like `device_prefetch`, but groups `steps_per_dispatch` host batches
+    into one stacked device batch (leading dims (K, B, ...)) for the
+    multi-step scan dispatch (`PoseTrainer.train_step_multi`). A trailing
+    group smaller than K is dropped (the sampler streams are infinite in
+    training; only bounded smoke runs can hit this)."""
+    import collections
+
+    import jax
+
+    from neuralnet_tracker_traincode_tpu.parallel.mesh import shard_stacked_batch
+
+    k = int(steps_per_dispatch)
+
+    def stacked():
+        it = iter(iterator)
+        while True:
+            group = []
+            try:
+                for _ in range(k):
+                    group.append(next(it))
+            except StopIteration:
+                return
+            yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *group)
+
+    buf = collections.deque()
+    it = stacked()
+    try:
+        for _ in range(size):
+            buf.append(shard_stacked_batch(next(it), mesh))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(shard_stacked_batch(next(it), mesh))
+        except StopIteration:
+            pass
+        yield out
+
+
 def device_prefetch(iterator, mesh, size: int = 2):
     """Move batches onto the mesh ahead of consumption (double buffering)."""
     from neuralnet_tracker_traincode_tpu.parallel.mesh import shard_batch

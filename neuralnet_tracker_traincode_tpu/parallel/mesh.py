@@ -54,6 +54,29 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     return jax.tree_util.tree_map(put, batch)
 
 
+def stacked_batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Sharding for a stack of K batches, shape (K, B, ...): batch dim sharded."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
+def shard_stacked_batch(batches, mesh: Mesh, axis_name: str = "data"):
+    """Place a pytree of stacked host batches (leading dims (K, B, ...)) onto
+    the mesh, sharded along the batch dim (axis 1). Used by the multi-step
+    scan dispatch (`train.loop.PoseTrainer.train_step_multi`), which amortizes
+    one host dispatch over K optimizer steps. Multi-process semantics match
+    `shard_batch` (each process contributes its local rows of axis 1)."""
+    sharding = stacked_batch_sharding(mesh, axis_name)
+
+    if jax.process_count() == 1:
+        def put(x):
+            return jax.device_put(x, sharding)
+    else:
+        def put(x):
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, batches)
+
+
 def process_local_seed(seed: Optional[int]) -> Optional[int]:
     """Fold the process index into a sampler seed so every host draws a
     disjoint, deterministic stream. None stays None (OS entropy is already

@@ -142,6 +142,7 @@ class PoseTrainer:
         self._replicated = replicated_sharding(self.mesh)
         self._sharded = batch_sharding(self.mesh)
         self._train_step = None
+        self._train_step_multi = None
         self._eval_step = None
 
     # ---- state ------------------------------------------------------------
@@ -170,7 +171,9 @@ class PoseTrainer:
         return jax.device_put(state, self._replicated)
 
     # ---- steps ------------------------------------------------------------
-    def _build_train_step(self):
+    def _step_fn(self):
+        """The pure per-step update, shared by the single-step jit and the
+        scanned multi-step dispatch."""
         cfg = self.config
         categories = self.categories
         criterion = self.criterion
@@ -231,9 +234,11 @@ class PoseTrainer:
             )
             return new_state, metrics
 
-        donate = (0,)
+        return train_step
+
+    def _build_train_step(self):
         self._train_step = jax.jit(
-            train_step,
+            self._step_fn(),
             in_shardings=(
                 self._replicated,
                 self._sharded,
@@ -241,13 +246,56 @@ class PoseTrainer:
                 self._replicated,
             ),
             out_shardings=(self._replicated, self._replicated),
-            donate_argnums=donate,
+            donate_argnums=(0,),
+        )
+
+    def _build_train_step_multi(self):
+        from neuralnet_tracker_traincode_tpu.parallel.mesh import stacked_batch_sharding
+
+        step = self._step_fn()
+
+        def multi_step(state: TrainState, batches, weight_matrix, rng):
+            # One dispatch covers K optimizer steps via lax.scan. The per-step
+            # rng folds in state.step inside `step`, so every scan iteration
+            # draws a distinct augmentation/dropout stream from the same key.
+            def body(st, batch):
+                return step(st, batch, weight_matrix, rng)
+
+            state, metrics = jax.lax.scan(body, state, batches)
+            return state, metrics  # each metric carries a leading (K,) axis
+
+        self._train_step_multi = jax.jit(
+            multi_step,
+            in_shardings=(
+                self._replicated,
+                stacked_batch_sharding(self.mesh),
+                self._replicated,
+                self._replicated,
+            ),
+            out_shardings=(self._replicated, self._replicated),
+            donate_argnums=(0,),
         )
 
     def train_step(self, state, batch, weight_matrix, rng):
         if self._train_step is None:
             self._build_train_step()
         return self._train_step(state, batch, weight_matrix, rng)
+
+    def train_step_multi(self, state, batches, weight_matrix, rng):
+        """Run K = batches.shape[0] optimizer steps in ONE device dispatch.
+
+        Amortizes host->device dispatch latency (the dominant per-step cost for
+        this small model, especially through a tunneled chip): the step loop is
+        a lax.scan on device, so the host pays one dispatch per K steps.
+        `batches` is the pytree of `shard_stacked_batch` (leading dims (K, B)).
+        Returns the advanced state and per-step metrics stacked along axis 0 —
+        the same rng stream and optimizer trajectory as K `train_step` calls,
+        equal up to XLA re-fusion rounding (tests/test_train_loop.py pins the
+        drift bound).
+        """
+        if self._train_step_multi is None:
+            self._build_train_step_multi()
+        return self._train_step_multi(state, batches, weight_matrix, rng)
 
     def update_swa(self, state: TrainState) -> TrainState:
         """Equal-weight running average (torch AveragedModel semantics)."""
@@ -286,8 +334,11 @@ class PoseTrainer:
 
 
 def check_not_nan(metrics: Dict[str, jax.Array], state, batch, dump_path="/tmp/notgood.pkl"):
-    """NaN watchdog (`train.py:287-366`): on non-finite loss, dump state + batch."""
-    loss = float(metrics["loss"])
+    """NaN watchdog (`train.py:287-366`): on non-finite loss, dump state + batch.
+
+    `metrics["loss"]` may be a scalar (train_step) or a (K,) vector of
+    per-step losses (train_step_multi)."""
+    loss = np.asarray(metrics["loss"]).sum()
     if not np.isfinite(loss):
         try:
             with open(dump_path, "wb") as f:

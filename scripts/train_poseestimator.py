@@ -184,6 +184,12 @@ def main():
         "--profile-dir", default=None, type=str,
         help="Capture a jax.profiler device trace of early steps into this directory",
     )
+    parser.add_argument(
+        "--steps-per-dispatch", default=1, type=int,
+        help="Optimizer steps fused into one device dispatch (lax.scan). >1 "
+        "amortizes dispatch latency for small models; numerically identical "
+        "to single-step training (tests/test_train_loop.py).",
+    )
     args = parser.parse_args()
     args.input_size = 129
 
@@ -272,7 +278,21 @@ def main():
 
     steps_per_epoch = cfg.steps_per_epoch
     best_val = float("inf")
-    data_iter = device_prefetch(iter(train_loader), trainer.mesh, size=2)
+    K = max(1, args.steps_per_dispatch)
+    if K > 1:
+        from neuralnet_tracker_traincode_tpu.data.loader import device_prefetch_stacked
+
+        data_iter = device_prefetch_stacked(iter(train_loader), trainer.mesh, K, size=2)
+        step_fn = trainer.train_step_multi
+        if steps_per_epoch % K:
+            print(
+                f"note: {steps_per_epoch} steps/epoch rounded down to "
+                f"{steps_per_epoch // K * K} (multiple of --steps-per-dispatch {K})"
+            )
+    else:
+        data_iter = device_prefetch(iter(train_loader), trainer.mesh, size=2)
+        step_fn = trainer.train_step
+    dispatches_per_epoch = max(1, steps_per_epoch // K)
     t_train_start = time.time()
     samples_done = 0
     meter = ThroughputMeter(warmup_steps=2)
@@ -288,26 +308,30 @@ def main():
         # vs loader-bound throughput without).
         metrics_hist = []
         with profile_ctx:
-            profile_steps = 8 if args.profile_dir and epoch == start_epoch else steps_per_epoch
-            for _ in range(min(profile_steps, steps_per_epoch)):
+            profile_steps = 8 if args.profile_dir and epoch == start_epoch else dispatches_per_epoch
+            for _ in range(min(profile_steps, dispatches_per_epoch)):
                 batch = next(data_iter)
-                state, metrics = trainer.train_step(state, batch, W, rng)
-                meter.step(args.batchsize)
+                state, metrics = step_fn(state, batch, W, rng)
+                meter.step(args.batchsize * K)
                 metrics_hist.append(metrics)
-        for _ in range(max(0, steps_per_epoch - profile_steps)):
+        for _ in range(max(0, dispatches_per_epoch - profile_steps)):
             batch = next(data_iter)
-            state, metrics = trainer.train_step(state, batch, W, rng)
-            meter.step(args.batchsize)
+            state, metrics = step_fn(state, batch, W, rng)
+            meter.step(args.batchsize * K)
             metrics_hist.append(metrics)
         check_not_nan(metrics, state, batch)
-        step0 = int(state.step) - len(metrics_hist)
+        step0 = int(state.step) - len(metrics_hist) * K
         for i, m in enumerate(jax.device_get(metrics_hist)):
-            for k, v in m.items():
-                plotter.add_train_point(epoch, step0 + i + 1, k, float(v))
-                console.add_train_point(epoch, step0 + i + 1, k, float(v))
-        samples_done += steps_per_epoch * args.batchsize
+            # A multi-step dispatch carries per-step metrics stacked along
+            # axis 0; flatten back to one point per optimizer step.
+            per_step = [m] if K == 1 else [{k: v[j] for k, v in m.items()} for j in range(K)]
+            for j, mj in enumerate(per_step):
+                for k, v in mj.items():
+                    plotter.add_train_point(epoch, step0 + i * K + j + 1, k, float(v))
+                    console.add_train_point(epoch, step0 + i * K + j + 1, k, float(v))
+        samples_done += dispatches_per_epoch * K * args.batchsize
         dt = time.time() - t0
-        ips = steps_per_epoch * args.batchsize / dt
+        ips = dispatches_per_epoch * K * args.batchsize / dt
 
         val_loss = validation.run(state, epoch, plotter, console)
         plotter.add_test_point(epoch, "lr", args.lr * trainer.epoch_schedule(epoch))

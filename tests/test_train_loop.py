@@ -142,6 +142,72 @@ def test_training_reduces_loss(trainer_and_state, rng):
     assert last < first, f"loss did not decrease: {first} -> {last}"
 
 
+@pytest.mark.slow
+def test_multi_step_matches_sequential(trainer_and_state, rng):
+    """K scanned steps in one dispatch == K sequential single-step dispatches.
+
+    The multi-step path exists purely to amortize dispatch latency
+    (docs/PERFORMANCE.md); it must be a pure batching of the step program —
+    same rng fold-in per step, same optimizer trajectory, same metrics."""
+    trainer, make_state = trainer_and_state
+    K = 3
+    host_batches = [make_synthetic_batch(np.random.RandomState(100 + i)) for i in range(K)]
+    W = trainer.weight_matrix(1)
+    key = jax.random.PRNGKey(11)
+
+    state_a = make_state()
+    seq_metrics = []
+    for hb in host_batches:
+        state_a, m = trainer.train_step(state_a, shard_batch(hb, trainer.mesh), W, key)
+        seq_metrics.append(jax.device_get(m))
+
+    from neuralnet_tracker_traincode_tpu.parallel.mesh import shard_stacked_batch
+
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *host_batches)
+    state_b = make_state()
+    state_b, multi_metrics = trainer.train_step_multi(
+        state_b, shard_stacked_batch(stacked, trainer.mesh), W, key
+    )
+    multi_metrics = jax.device_get(multi_metrics)
+
+    assert int(state_b.step) == int(state_a.step) == K
+    # Scan and unrolled dispatches compile to differently-fused XLA programs,
+    # so float rounding differs in the last ulps and Adam amplifies it step
+    # over step: step 1 must match tightly, later steps within drift bounds
+    # (measured max relative drift ~4e-4 by step 3 on CPU).
+    for name in seq_metrics[0]:
+        got = np.asarray(multi_metrics[name])
+        assert got.shape == (K,)
+        want = np.asarray([m[name] for m in seq_metrics])
+        np.testing.assert_allclose(got[0], want[0], rtol=1e-5, atol=1e-6, err_msg=name)
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-4, err_msg=name)
+    # Param drift bound: Adam normalizes by sqrt(second moment), so an
+    # ulp-level gradient difference can move an element by up to ~lr per step
+    # once trajectories decohere; require total drift below K lr steps
+    # (measured 1.1e-3 after K=3 steps at lr 1e-3 on CPU) — way below any
+    # training-relevant scale, yet fails instantly on a wrong rng fold-in,
+    # batch-order bug, or weight-matrix mixup (those are O(weight-scale)).
+    lr = trainer.config.lr
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.params), jax.tree_util.tree_leaves(state_b.params)
+    ):
+        drift = np.max(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)))
+        assert drift < K * lr, f"param drift {drift} exceeds {K} lr steps"
+
+
+def test_device_prefetch_stacked_shapes(rng):
+    from neuralnet_tracker_traincode_tpu.data.loader import device_prefetch_stacked
+
+    mesh = make_mesh()
+    batches = [make_synthetic_batch(np.random.RandomState(i), B=8) for i in range(5)]
+    out = list(device_prefetch_stacked(iter(batches), mesh, steps_per_dispatch=2))
+    assert len(out) == 2  # trailing odd batch dropped
+    assert out[0]["image"].shape == (2, 8, 64, 64, 1)
+    np.testing.assert_array_equal(
+        np.asarray(out[1]["coord"][0]), batches[2]["coord"]
+    )
+
+
 def test_param_group_labels():
     model = NetworkWithPointHead(enable_point_head=True, enable_uncertainty=True)
     variables = model.init(
