@@ -24,13 +24,12 @@ REFERENCE_BASELINE_IPS = 3000.0
 
 # Default config mirrors the reference's training run: MobileNetV1, batch 64,
 # NLL heads on, full augmentation, 450x450 sources (300W-LP image size).
-# Per-step cost on one v5e chip is dispatch-dominated for this tiny model, so
-# throughput grows with batch until the MXU saturates (measured with honest
-# per-step keys: b128 ~30k, b512 ~127-141k images/s/chip). XLA:TPU compile time
-# through the tunnel varies wildly at large batches, so without BENCH_BATCH
-# set, main() tries the largest batch in a subprocess with a timeout and
-# falls back (512 -> 256 -> 128); a persistent compilation cache makes
-# repeat runs cheap.
+# Timing is value-fetch-fenced (see main()): `block_until_ready` through the
+# tunneled runtime returns at enqueue, which inflated earlier rounds' numbers
+# by orders of magnitude. XLA:TPU compile time through the tunnel varies
+# wildly at large batches, so without BENCH_BATCH set, main() tries the
+# largest batch in a subprocess with a timeout and falls back
+# (512 -> 256 -> 128); a persistent compilation cache makes repeat runs cheap.
 BATCH = int(os.environ.get("BENCH_BATCH", 0))
 SRC = int(os.environ.get("BENCH_SRC", 448))
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
@@ -149,7 +148,7 @@ def bench_e2e(trainer, state, mesh, W, key, batchsize: int):
     except StopIteration:
         raise SystemExit("e2e bench loader produced no batches (worker starvation?)")
     state, metrics = trainer.train_step(state, sharded, W, key)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))  # value fence (see main())
 
     steps = 0
     t0 = time.perf_counter()
@@ -158,7 +157,7 @@ def bench_e2e(trainer, state, mesh, W, key, batchsize: int):
         steps += 1
         if steps >= n_steps:
             break
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))  # value fence
     dt = (time.perf_counter() - t0) / max(steps, 1)
     import jax as _jax
 
@@ -249,17 +248,22 @@ def main():
         sharded = shard_batch(batch, mesh)
         step = trainer.train_step
 
-    # Warmup / compile
+    # Warmup / compile. NOTE on timing honesty: through the tunneled runtime,
+    # `jax.block_until_ready` returns at enqueue time, not execution end —
+    # timing with it under-reports by orders of magnitude (the round-1/2
+    # "127-159k img/s" figures were this artifact). Fetching a VALUE
+    # (device_get) is the only trustworthy fence: the final loss depends on
+    # the whole step chain, so the fetch forces every dispatch to execute.
     state, metrics = step(state, sharded, W, key)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
 
-    # Distinct key per step like real training: the axon runtime elides
+    # Distinct key per step like real training: the runtime also elides
     # dispatches with fully identical arguments, which would inflate the
     # number (measured: same-key aug-only steps report 0.05 ms vs 30 ms real).
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, metrics = step(state, sharded, W, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))  # value fence (one RTT ~30 ms amortized)
     dt = (time.perf_counter() - t0) / STEPS
     n_chips = len(jax.devices())
     ips_per_chip = scan * BATCH / dt / n_chips

@@ -120,6 +120,25 @@ def _center_rotation_tr(angles: jax.Array, new_size: int) -> Affine2d:
     return tr_denorm @ tr_rot @ tr_norm
 
 
+def focus_roi_components(
+    roi: jax.Array,
+    params: RoiFocusRandomizationParameters,
+    new_size: int,
+    round_roi: bool = True,
+) -> tuple:
+    """(view_roi, transform) pair: the expanded/rounded square view ROI and the
+    full source->crop Affine2d (= center rotation @ axis-aligned remap).
+
+    The gather-free warp (`warp_fast.warp_roi_rotate`) consumes the components
+    (view_roi + angles) directly; the label path uses the composed transform.
+    """
+    view_roi = compute_view_roi(roi, params.scales, params.translations, MAX_BEYOND_BORDER_SHIFT)
+    if round_roi:
+        view_roi = jnp.round(view_roi)
+    tr = _point_transform_from_roi(view_roi, new_size)
+    return view_roi, _center_rotation_tr(params.angles, new_size) @ tr
+
+
 def focus_roi_transform(
     roi: jax.Array,
     params: RoiFocusRandomizationParameters,
@@ -127,11 +146,7 @@ def focus_roi_transform(
     round_roi: bool = True,
 ) -> Affine2d:
     """Per-sample source->crop transform (roi expansion + in-plane rotation)."""
-    view_roi = compute_view_roi(roi, params.scales, params.translations, MAX_BEYOND_BORDER_SHIFT)
-    if round_roi:
-        view_roi = jnp.round(view_roi)
-    tr = _point_transform_from_roi(view_roi, new_size)
-    return _center_rotation_tr(params.angles, new_size) @ tr
+    return focus_roi_components(roi, params, new_size, round_roi)[1]
 
 
 def focus_roi_batch(
@@ -157,18 +172,12 @@ def focus_roi_batch(
     return out
 
 
-def random_flip_rot90_transform(
-    key: jax.Array, batchshape, new_size: int, p_rot: float = 0.01
-) -> Affine2d:
-    """Batched horizontal flip (p=0.5) + +-90 deg rotation (p=p_rot) transform.
+def sample_flip_rot90(key: jax.Array, batchshape, p_rot: float = 0.01):
+    """Draw the discrete flip/rot90 choices: (do_flip bool, rot_dir in -1/0/+1).
 
-    Contract: `geometric.py:234-267`. Unlike the reference (which mutates the
-    image arrays with flips/transposes), this returns an Affine2d to be
-    COMPOSED with the crop transform — axis-aligned so the single fused warp
-    reproduces it exactly with no extra resampling.
-    """
+    Split out from the transform construction so the gather-free warp can
+    apply them as exact array permutations (`warp_fast.apply_fliprot`)."""
     k_flip, k_rot = jax.random.split(key)
-    w = h = float(new_size)
     do_flip = jax.random.bernoulli(k_flip, 0.5, batchshape)
     rot_dir = jax.random.choice(
         k_rot,
@@ -176,6 +185,13 @@ def random_flip_rot90_transform(
         batchshape,
         p=jnp.asarray([p_rot / 2.0, 1.0 - p_rot, p_rot / 2.0]),
     )
+    return do_flip, rot_dir
+
+
+def flip_rot90_transform(do_flip: jax.Array, rot_dir: jax.Array, new_size: int) -> Affine2d:
+    """Affine2d of `sample_flip_rot90` choices (flip applied first)."""
+    batchshape = do_flip.shape
+    w = h = float(new_size)
     tr_rot = (
         Affine2d.range_remap_2d([-1.0, -1.0], [1.0, 1.0], [0.0, 0.0], [w, h]).broadcast_to(batchshape)
         @ Affine2d.trs(angles=rot_dir * (math.pi * 0.5))
@@ -188,3 +204,17 @@ def random_flip_rot90_transform(
         jnp.where(do_flip[..., None, None], tr_flip.tensor(), identity.tensor())
     )
     return tr @ flip_or_id
+
+
+def random_flip_rot90_transform(
+    key: jax.Array, batchshape, new_size: int, p_rot: float = 0.01
+) -> Affine2d:
+    """Batched horizontal flip (p=0.5) + +-90 deg rotation (p=p_rot) transform.
+
+    Contract: `geometric.py:234-267`. Unlike the reference (which mutates the
+    image arrays with flips/transposes), this returns an Affine2d to be
+    COMPOSED with the crop transform — axis-aligned so a single warp
+    reproduces it exactly with no extra resampling.
+    """
+    do_flip, rot_dir = sample_flip_rot90(key, batchshape, p_rot)
+    return flip_rot90_transform(do_flip, rot_dir, new_size)

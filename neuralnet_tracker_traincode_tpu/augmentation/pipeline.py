@@ -22,14 +22,17 @@ from neuralnet_tracker_traincode_tpu.augmentation.affine import (
     position_normalization,
 )
 from neuralnet_tracker_traincode_tpu.augmentation.geometric import (
+    flip_rot90_transform,
+    focus_roi_components,
     focus_roi_transform,
     make_roi_randomization_parameters,
     no_roi_randomization,
-    random_flip_rot90_transform,
+    sample_flip_rot90,
     share_params_within_sequences,
 )
 from neuralnet_tracker_traincode_tpu.augmentation.intensity import intensity_augmentation
 from neuralnet_tracker_traincode_tpu.augmentation.warp import warp_affine
+from neuralnet_tracker_traincode_tpu.augmentation.warp_fast import warp_roi_rotate
 from neuralnet_tracker_traincode_tpu.data.fields import FieldCategory
 from neuralnet_tracker_traincode_tpu.ops.affine2d import Affine2d
 
@@ -107,15 +110,28 @@ def augment_batch_for_training(
         )
         if param_index is not None:
             params = share_params_within_sequences(params, param_index)
-    tr = focus_roi_transform(labels[cfg.roi_key], params, cfg.inputsize)
+    view_roi, tr = focus_roi_components(labels[cfg.roi_key], params, cfg.inputsize)
 
+    do_flip = rot_dir = None
     if cfg.enable_flip and not cfg.deterministic:
-        tr_fliprot = random_flip_rot90_transform(k_fliprot, (B,), cfg.inputsize, cfg.p_flip_rot90)
+        do_flip, rot_dir = sample_flip_rot90(k_fliprot, (B,), cfg.p_flip_rot90)
         if param_index is not None:
-            tr_fliprot = Affine2d(tr_fliprot.tensor()[param_index])
-        tr = tr_fliprot @ tr
+            do_flip, rot_dir = do_flip[param_index], rot_dir[param_index]
+        tr = flip_rot90_transform(do_flip, rot_dir, cfg.inputsize) @ tr
 
-    warped = warp_affine(images, tr, cfg.inputsize, cfg.oversample)
+    # Gather-free MXU/VPU warp (see warp_fast.py): same geometry as
+    # `warp_affine(images, tr, ...)`, 43x faster on TPU (honest slope
+    # timing at b512/448^2: 52.6 ms vs 2246 ms; docs/PERFORMANCE.md).
+    warped = warp_roi_rotate(
+        images,
+        view_roi,
+        params.angles,
+        cfg.inputsize,
+        cfg.rotation_aug_angle,
+        do_flip=do_flip,
+        rot_dir=rot_dir,
+        skip_rotation=cfg.deterministic or not cfg.rotation_aug_angle,
+    )
     labels = _transform_labels(labels, categories, tr)
     labels = _normalize_labels(labels, categories, cfg.inputsize)
 

@@ -26,11 +26,13 @@ from tests.test_augmentation_pipeline import _make_batch
 
 # Generated with rng=RandomState(12345), key=PRNGKey(20260816), B=4, src=96,
 # inputsize=129 (see _golden_inputs below). float32 CPU values.
-GOLDEN_X_MEAN = -0.014357921667397022
-GOLDEN_X_STD = 0.25965696573257446
+# Pixel goldens regenerated when the train pipeline switched to the
+# gather-free warp (`warp_fast.warp_roi_rotate`); label goldens unchanged.
+GOLDEN_X_MEAN = -0.014229013584554195
+GOLDEN_X_STD = 0.2614266574382782
 GOLDEN_X_PATCH = np.asarray(
-    [0.14384252, -0.08289856, -0.23016804, -0.15490496,
-     -0.0710116, 0.06466919, 0.20898038, 0.24965107], np.float32,
+    [0.17604548, -0.09321308, -0.26799446, -0.17824161,
+     -0.08848876, 0.07203072, 0.23255032, 0.27860785], np.float32,
 )
 GOLDEN_COORD = np.asarray(
     [[0.03717756, 0.08986568, 1.7135671],
@@ -66,9 +68,14 @@ def test_augmentation_golden_values():
         lambda k, im, lb: augment_batch_for_training(k, im, lb, categories, cfg)
     )(key, images, labels)
     x = np.asarray(x)
-    np.testing.assert_allclose(x.mean(), GOLDEN_X_MEAN, atol=1e-5)
-    np.testing.assert_allclose(x.std(), GOLDEN_X_STD, atol=1e-5)
-    np.testing.assert_allclose(x[0, 64, 60:68, 0], GOLDEN_X_PATCH, atol=2e-4)
+    # Pixel tolerances: the gather-free warp realizes the resample as matmul
+    # contractions whose reduction order is codegen-dependent (XLA:CPU AOT
+    # cache entries from hosts with different ISA features reproduce to only
+    # ~2e-3 here). Real regressions (filter/geometry changes) move these by
+    # >=1e-2. Label goldens stay at 1e-5 — the label path is contraction-free.
+    np.testing.assert_allclose(x.mean(), GOLDEN_X_MEAN, atol=5e-4)
+    np.testing.assert_allclose(x.std(), GOLDEN_X_STD, atol=5e-4)
+    np.testing.assert_allclose(x[0, 64, 60:68, 0], GOLDEN_X_PATCH, atol=5e-3)
     np.testing.assert_allclose(np.asarray(out["coord"]), GOLDEN_COORD, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out["pt3d_68"])[0, :3], GOLDEN_PT0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out["roi"])[:2], GOLDEN_ROI, atol=1e-5)
