@@ -119,9 +119,10 @@ def augment_batch_for_training(
             do_flip, rot_dir = do_flip[param_index], rot_dir[param_index]
         tr = flip_rot90_transform(do_flip, rot_dir, cfg.inputsize) @ tr
 
-    # Gather-free MXU/VPU warp (see warp_fast.py): same geometry as
-    # `warp_affine(images, tr, ...)`, 43x faster on TPU (honest slope
-    # timing at b512/448^2: 52.6 ms vs 2246 ms; docs/PERFORMANCE.md).
+    # Gather-free MXU/VPU warp (see warp_fast.py; fused Pallas kernel on
+    # TPU, warp_pallas.py): same geometry as `warp_affine(images, tr, ...)`,
+    # 2.25 ms vs 2246 ms at b512/448^2 by honest slope timing
+    # (docs/PERFORMANCE.md).
     warped = warp_roi_rotate(
         images,
         view_roi,

@@ -35,6 +35,7 @@ training augmentation; the deterministic eval/export paths keep the gather
 """
 
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -168,9 +169,31 @@ def warp_roi_rotate(
     range_remap(view_roi -> [0,S]^2))` up to resampling filter choice.
     `skip_rotation` statically removes the shear passes (deterministic /
     rotation-free configs).
+
+    On TPU backends the single-channel case dispatches to the fused Pallas
+    kernel (`warp_pallas.py` — one HBM round trip per sample instead of one
+    per stage); the pure-XLA formulation below is the portable reference
+    path (CPU tests, multi-channel). Override with NNTC_WARP_IMPL=xla|pallas.
     """
     B, H, W, C = images.shape
     S = int(out_size)
+
+    impl = os.environ.get("NNTC_WARP_IMPL", "auto")
+    if impl != "xla" and C == 1 and (impl == "pallas" or jax.default_backend() != "cpu"):
+        from neuralnet_tracker_traincode_tpu.augmentation.warp_pallas import (
+            warp_roi_rotate_pallas,
+        )
+
+        crop = warp_roi_rotate_pallas(
+            images[..., 0],
+            view_roi,
+            angles,
+            S,
+            theta_max_deg,
+            skip_rotation=skip_rotation,
+            interpret=jax.default_backend() == "cpu",
+        )[..., None]
+        return apply_fliprot(crop, do_flip, rot_dir)
     if skip_rotation:
         CS = S
         m = 0.0
