@@ -28,8 +28,8 @@ from tests.test_augmentation_pipeline import _make_batch
 # inputsize=129 (see _golden_inputs below). float32 CPU values.
 # Pixel goldens regenerated when the train pipeline switched to the
 # gather-free warp (`warp_fast.warp_roi_rotate`); label goldens unchanged.
-GOLDEN_X_MEAN = -0.014229013584554195
-GOLDEN_X_STD = 0.2614266574382782
+GOLDEN_X_MEAN = -0.014287539757788181
+GOLDEN_X_STD = 0.2613910734653473
 GOLDEN_X_PATCH = np.asarray(
     [0.17604548, -0.09321308, -0.26799446, -0.17824161,
      -0.08848876, 0.07203072, 0.23255032, 0.27860785], np.float32,
