@@ -255,7 +255,8 @@ def main():
     # (device_get) is the only trustworthy fence: the final loss depends on
     # the whole step chain, so the fetch forces every dispatch to execute.
     state, metrics = step(state, sharded, W, key)
-    float(jax.device_get(metrics["loss"]))
+    # scan mode returns per-step losses of shape (K,); fence on the last one
+    float(np.asarray(jax.device_get(metrics["loss"])).ravel()[-1])
 
     # Distinct key per step like real training: the runtime also elides
     # dispatches with fully identical arguments, which would inflate the
@@ -263,7 +264,8 @@ def main():
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, metrics = step(state, sharded, W, jax.random.fold_in(key, i))
-    float(jax.device_get(metrics["loss"]))  # value fence (one RTT ~30 ms amortized)
+    # value fence (one RTT ~30 ms amortized); ravel: scan mode yields (K,)
+    float(np.asarray(jax.device_get(metrics["loss"])).ravel()[-1])
     dt = (time.perf_counter() - t0) / STEPS
     n_chips = len(jax.devices())
     ips_per_chip = scan * BATCH / dt / n_chips
