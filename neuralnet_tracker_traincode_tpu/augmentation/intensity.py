@@ -15,6 +15,8 @@ kornia-exact and pinned against numpy oracles (tests/test_intensity_oracles).
 Images are floats in [0, 1], shape (B, H, W, C).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,10 +51,15 @@ def equalize(images: jax.Array) -> jax.Array:
     def eq_channel(img):  # (H, W) float [0, 1]
         P = img.size
         hist_idx = jnp.clip(jnp.floor(img * 256.0), 0.0, 255.0).astype(jnp.int32).reshape(-1)
-        hi = jax.nn.one_hot(hist_idx // 16, 16, dtype=jnp.float32)  # (P, 16)
-        lo = jax.nn.one_hot(hist_idx % 16, 16, dtype=jnp.float32)  # (P, 16)
+        # bf16 one-hots are EXACT (values 0/1; LUT entries are integers
+        # <= 255, below bf16's 256 integer-exact bound) and halve the
+        # dominant cost of this op: the (P, 16) one-hot materialization
+        # traffic. Accumulation stays f32 on the MXU via
+        # preferred_element_type.
+        hi = jax.nn.one_hot(hist_idx // 16, 16, dtype=jnp.bfloat16)  # (P, 16)
+        lo = jax.nn.one_hot(hist_idx % 16, 16, dtype=jnp.bfloat16)  # (P, 16)
         hist = jnp.einsum(
-            "pa,pb->ab", hi, lo, precision=jax.lax.Precision.HIGHEST
+            "pa,pb->ab", hi, lo, preferred_element_type=jnp.float32
         ).reshape(256)
         nonzero = hist > 0
         idx = jnp.arange(256)
@@ -63,12 +70,13 @@ def equalize(images: jax.Array) -> jax.Array:
         lut = jnp.floor((cum + jnp.floor(step / 2.0)) / jnp.maximum(step, 1.0))
         lut = jnp.clip(jnp.concatenate([jnp.zeros((1,)), lut[:-1]]), 0.0, 255.0)
         look_idx = jnp.floor(img * 255.0).astype(jnp.int32).reshape(-1)  # .long() truncation
-        hi_l = jax.nn.one_hot(look_idx // 16, 16, dtype=jnp.float32)
-        lo_l = jax.nn.one_hot(look_idx % 16, 16, dtype=jnp.float32)
+        hi_l = jax.nn.one_hot(look_idx // 16, 16, dtype=jnp.bfloat16)
+        lo_l = jax.nn.one_hot(look_idx % 16, 16, dtype=jnp.bfloat16)
         t = jnp.matmul(
-            hi_l, lut.reshape(16, 16), precision=jax.lax.Precision.HIGHEST
-        )  # (P, 16)
-        out = jnp.sum(t * lo_l, axis=-1).reshape(img.shape) / 255.0
+            hi_l, lut.reshape(16, 16).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # (P, 16) — exact: lut holds integers <= 255
+        out = jnp.sum(t * lo_l.astype(jnp.float32), axis=-1).reshape(img.shape) / 255.0
         return jnp.where(step == 0, img, out)
 
     return jax.vmap(jax.vmap(eq_channel, in_axes=-1, out_axes=-1))(images)
@@ -187,6 +195,12 @@ def intensity_augmentation_noise(key: jax.Array, images: jax.Array) -> jax.Array
     variance, so a single noise draw scaled per-sample by
     sqrt(sum(applied sigma_k^2)) is statistically identical to the reference's
     stacked kornia RandomGaussianNoise ops — one RNG pass instead of four.
+
+    On TPU backends the per-pixel normal draw + add + clip run in a fused
+    Pallas kernel on the hardware PRNG (`noise_pallas.py`; honest marginal
+    cost 0.48 ms vs 1.84 ms threefry at b512 129^2) — same Bernoulli gating
+    and sigma combination, a different (still key-deterministic) bit stream.
+    Override with NNTC_NOISE_IMPL=xla|pallas.
     """
     B = images.shape[0]
     k_mask, k_noise = jax.random.split(key)
@@ -194,6 +208,16 @@ def intensity_augmentation_noise(key: jax.Array, images: jax.Array) -> jax.Array
     probs = jnp.asarray([0.25, 0.25**2, 0.25**3, 0.25**4])
     applied = jax.random.bernoulli(k_mask, probs[None, :], (B, 4))
     sigma_combined = jnp.sqrt(jnp.sum(jnp.square(sigmas)[None, :] * applied, axis=-1))
+    impl = os.environ.get("NNTC_NOISE_IMPL", "auto")
+    if impl != "xla" and images.shape[-1] == 1 and (
+        impl == "pallas" or jax.default_backend() != "cpu"
+    ):
+        from neuralnet_tracker_traincode_tpu.augmentation.noise_pallas import (
+            add_gaussian_noise_pallas,
+        )
+
+        seeds = jax.random.bits(k_noise, (B,), jnp.uint32).astype(jnp.int32)
+        return add_gaussian_noise_pallas(images[..., 0], seeds, sigma_combined)[..., None]
     # bf16 normals: half the threefry bit generation (the dominant cost of
     # this stage at b512: 2.8 ms -> ~1.4 ms); bf16's ~2.8 significant digits
     # are far below the smallest sigma (4/255), so the noise statistics are

