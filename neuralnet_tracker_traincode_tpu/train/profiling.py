@@ -49,8 +49,11 @@ class ThroughputMeter:
 
     @property
     def images_per_sec(self) -> float:
+        # An epoch short enough that warmup swallowed every dispatch (e.g.
+        # smoke runs with steps_per_epoch <= warmup * steps_per_dispatch) has
+        # no measured window yet — report 0, not nan, so log lines stay sane.
         if self._t0 is None or self._images == 0:
-            return float("nan")
+            return 0.0
         dt = time.perf_counter() - self._t0
         return self._images / dt
 

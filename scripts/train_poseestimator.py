@@ -185,10 +185,13 @@ def main():
         help="Capture a jax.profiler device trace of early steps into this directory",
     )
     parser.add_argument(
-        "--steps-per-dispatch", default=1, type=int,
+        "--steps-per-dispatch", default=0, type=int,
         help="Optimizer steps fused into one device dispatch (lax.scan). >1 "
         "amortizes dispatch latency for small models; numerically identical "
-        "to single-step training (tests/test_train_loop.py).",
+        "to single-step training (tests/test_train_loop.py). 0 (default) "
+        "auto-selects: 8 for batches <= 128 on accelerator backends (the "
+        "reference's bs-64 regime is dispatch-latency-dominated, "
+        "docs/PERFORMANCE.md), else 1.",
     )
     args = parser.parse_args()
     args.input_size = 129
@@ -278,7 +281,15 @@ def main():
 
     steps_per_epoch = cfg.steps_per_epoch
     best_val = float("inf")
-    K = max(1, args.steps_per_dispatch)
+    K = args.steps_per_dispatch
+    if K <= 0:
+        # Dispatch latency dominates small-batch steps (~7 ms/dispatch
+        # through a tunneled runtime, docs/PERFORMANCE.md); the reference's
+        # own training regime is bs 64. CPU runs keep K=1 (no dispatch gap,
+        # and the scan would only slow compile).
+        K = 8 if (args.batchsize <= 128 and jax.default_backend() != "cpu") else 1
+        if K > 1:
+            print(f"auto --steps-per-dispatch {K} (batch {args.batchsize})")
     if K > 1:
         from neuralnet_tracker_traincode_tpu.data.loader import device_prefetch_stacked
 
