@@ -142,6 +142,19 @@ def _stage1_op(op_id: jax.Array, key: jax.Array, x: jax.Array) -> jax.Array:
         return _per_sample_where(m, fn(), x)
 
     def do_equalize(x):
+        impl = os.environ.get("NNTC_EQUALIZE_IMPL", "auto")
+        if impl != "xla" and x.shape[-1] == 1 and (
+            impl == "pallas" or jax.default_backend() != "cpu"
+        ):
+            # Per-sample VMEM kernel: histogram + LUT one-hots never touch
+            # HBM (equalize_pallas.py). Same bernoulli draw as the XLA path.
+            from neuralnet_tracker_traincode_tpu.augmentation.equalize_pallas import (
+                equalize_pallas,
+            )
+
+            m = jax.random.bernoulli(k_mask, 0.2, (B,))
+            flat = x[..., 0].reshape(B, -1)
+            return equalize_pallas(flat, m).reshape(x.shape)
         return gated(0.2, lambda: equalize(x))
 
     def do_posterize(x):

@@ -33,6 +33,10 @@ def main():
     parser.add_argument("--workers", type=int, default=1, help="loader workers")
     parser.add_argument("--worker-type", default="auto",
                         choices=("auto", "thread", "process"))
+    parser.add_argument("--no-shm", action="store_false", dest="shared_memory",
+                        default=True,
+                        help="pickle image payloads through the mp queue "
+                        "instead of the shared-memory slot ring")
     args = parser.parse_args()
 
     import h5py
@@ -116,6 +120,7 @@ def main():
         pad_size=pad,
         num_workers=args.workers,
         worker_type=args.worker_type,
+        shared_memory=args.shared_memory,
     )
     it = iter(loader)
     next(it)  # warm up the prefetch thread
@@ -126,9 +131,12 @@ def main():
     dt = time.perf_counter() - t0
     total = steps * args.batchsize
     mode = "raw-jpeg native pack" if args.raw else "per-sample decode"
+    transport = ""
+    if loader.worker_type == "process":
+        transport = ", shm ring" if args.shared_memory else ", pickled queue"
     print(f"pack:     {total / dt:8.0f} samples/s (FusedBatchLoader end-to-end, "
           f"batch {args.batchsize}, pad {pad}, {mode}, "
-          f"{args.workers} {loader.worker_type} worker(s))")
+          f"{args.workers} {loader.worker_type} worker(s){transport})")
 
 
 if __name__ == "__main__":

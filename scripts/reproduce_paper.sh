@@ -53,10 +53,13 @@ if [ -z "${CKPT:-}" ]; then
     python "$REPO/scripts/dsprocess_300wlp.py" "${W300LP_ZIP:?}" "$DATADIR/300wlp.h5"
   fi
   step "train baseline (MobileNetV1 + NLL + SWA, $EPOCHS epochs; readme.md:152-161)"
+  # EXTRA_TRAIN_FLAGS: optional overrides (e.g. "--samples-per-epoch 256"
+  # for the synthetic end-to-end rehearsal in tests/test_reproduce_paper.py)
   python "$REPO/scripts/train_poseestimator.py" \
     --lr 1.e-3 --epochs "$EPOCHS" --ds "$DS" \
     --with-swa --with-nll-loss --backbone mobilenetv1 \
-    --roi-override original --outdir "$DATADIR/run" --resume auto
+    --roi-override original --outdir "$DATADIR/run" --resume auto \
+    ${EXTRA_TRAIN_FLAGS:-}
   CKPT="$DATADIR/run/NetworkWithPointHead_mobilenetv1/swa.ckpt"
   [ -f "$CKPT" ] || CKPT="$DATADIR/run/NetworkWithPointHead_mobilenetv1/best.ckpt"
 fi

@@ -106,7 +106,42 @@ print("OK")
 """ % (_REPO,)
 
 
-@pytest.mark.parametrize("prog,name", [(_WARP_PROG, "warp"), (_NOISE_PROG, "noise")])
+_EQ_PROG = """
+import sys
+sys.path.insert(0, %r)
+import jax, jax.numpy as jnp, numpy as np
+from neuralnet_tracker_traincode_tpu.augmentation.intensity import equalize
+from neuralnet_tracker_traincode_tpu.augmentation.equalize_pallas import equalize_pallas
+
+rng = np.random.RandomState(7)
+B, S = 32, 129
+# mix of smooth gradients, constants and noise (exercises step==0 identity)
+imgs = []
+for i in range(B):
+    if i %% 4 == 0:
+        imgs.append(np.full((S, S), rng.rand(), np.float32))
+    elif i %% 4 == 1:
+        g = np.linspace(0, 1, S, dtype=np.float32)
+        imgs.append(np.outer(g, g))
+    else:
+        imgs.append(rng.rand(S, S).astype(np.float32) ** (0.3 + rng.rand()))
+x = jnp.asarray(np.stack(imgs))
+gate = jnp.asarray(rng.rand(B) < 0.7)
+
+ref = np.asarray(jax.device_get(jax.jit(equalize)(x[..., None])))[..., 0]
+ref = np.where(np.asarray(gate)[:, None, None], ref, np.asarray(x))
+out = np.asarray(jax.device_get(equalize_pallas(x.reshape(B, -1), gate))).reshape(B, S, S)
+d = np.abs(ref - out)
+print("EQMAX", float(d.max()))
+assert d.max() < 1e-5, d.max()
+print("OK")
+""" % (_REPO,)
+
+
+@pytest.mark.parametrize(
+    "prog,name",
+    [(_WARP_PROG, "warp"), (_NOISE_PROG, "noise"), (_EQ_PROG, "equalize")],
+)
 def test_pallas_kernels_compiled_on_device(prog, name):
     if not _has_accelerator():
         pytest.skip("needs an accelerator (Pallas TPU kernels; interpret mode "

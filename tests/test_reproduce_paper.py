@@ -1,0 +1,133 @@
+"""End-to-end rehearsal of `scripts/reproduce_paper.sh` on synthetic archives.
+
+VERDICT r3 next-round #8: the paper-reproduction protocol is environment-
+gated on datasets that are not in this image, so it must be re-verified
+against synthetic stand-ins each round or it rots. This test builds
+synthetic 300W-LP and AFLW2000-3D zips (the same fixtures the converter
+tests use), then runs the ACTUAL shell script end to end: convert -> train
+(1 tiny epoch) -> AFLW2000-3D benchmark -> JSON table. Accelerator-gated
+(training on CPU at even this budget is minutes of compile).
+"""
+
+import io
+import json
+import os
+import subprocess
+import sys
+import zipfile
+from os.path import dirname, join, realpath
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+_REPO = join(dirname(realpath(__file__)), "..")
+
+scipy = pytest.importorskip("scipy")
+import scipy.io  # noqa: E402
+
+
+def _clean_env(datadir):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = ""
+    env["DATADIR"] = str(datadir)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", join(_REPO, ".cache", "jax"))
+    return env
+
+
+def _has_accelerator() -> bool:
+    probe = subprocess.run(
+        [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+        capture_output=True, text=True, env=_clean_env("/tmp"), timeout=300,
+    )
+    return probe.returncode == 0 and probe.stdout.strip().splitlines()[-1] not in ("", "cpu")
+
+
+def _mat_bytes(d):
+    buf = io.BytesIO()
+    scipy.io.savemat(buf, d)
+    return buf.getvalue()
+
+
+def _make_300wlp_zip(path, n_ident=6):
+    import cv2
+
+    rng = np.random.RandomState(5)
+
+    def annot(pitch, yaw, roll):
+        return _mat_bytes({
+            "Pose_Para": np.asarray(
+                [[pitch, yaw, roll, 220.0, 200.0, 0.0, 0.001]], np.float64),
+            "Shape_Para": rng.randn(199, 1) * 1e4,
+            "Exp_Para": rng.randn(29, 1) * 0.5,
+        })
+
+    with zipfile.ZipFile(path, "w") as zf:
+        for i in range(n_ident):
+            img = (rng.rand(450, 450) * 255).astype(np.uint8)
+            _, jpg = cv2.imencode(".JPEG", img)
+            lmk = _mat_bytes({"pts_2d": rng.rand(68, 2) * 450})
+            for v in range(2):
+                fn = f"300W_LP/AFW/AFW_{1000 + i}_1_{v}.mat"
+                zf.writestr(fn, annot(rng.randn() * 0.3, rng.randn() * 0.6, rng.randn() * 0.2))
+                zf.writestr(fn[:-4] + ".jpg", jpg.tobytes())
+                parts = fn.split("/")
+                zf.writestr(
+                    "/".join(parts[:-2] + ["landmarks", parts[-2], parts[-1][:-4] + "_pts.mat"]),
+                    lmk,
+                )
+    return path
+
+
+def _make_aflw2k_zip(path, n=4):
+    import cv2
+
+    sys.path.insert(0, join(_REPO, "scripts"))
+    from neuralnet_tracker_traincode_tpu.data.preprocessing import compute_keypoints
+    from neuralnet_tracker_traincode_tpu.utils import aflw_rotation_conversion
+
+    rng = np.random.RandomState(6)
+    with zipfile.ZipFile(path, "w") as zf:
+        for i in range(n):
+            img = (rng.rand(450, 450) * 255).astype(np.uint8)
+            _, jpg = cv2.imencode(".JPEG", img)
+            p, y, r = rng.randn() * 0.2, rng.randn() * 0.4, rng.randn() * 0.1
+            rot = aflw_rotation_conversion(p, y, r)
+            radius = 0.5 * 0.001 / 224.0 * 450 * 1e5
+            raw = np.array(compute_keypoints(
+                np.zeros(40), np.zeros(10), radius, rot, 220.0, 450.0 - 200.0))
+            raw[2] *= -1
+            blob = _mat_bytes({
+                "Pose_Para": np.asarray([[p, y, r, 220.0, 200.0, 0.0, 0.001]], np.float64),
+                "Shape_Para": np.zeros((199, 1)),
+                "Exp_Para": np.zeros((29, 1)),
+                "pt3d_68": raw,
+            })
+            zf.writestr(f"AFLW2000/image{i:05d}.mat", blob)
+            zf.writestr(f"AFLW2000/image{i:05d}.jpg", jpg.tobytes())
+    return path
+
+
+def test_reproduce_paper_synthetic(tmp_path):
+    if not _has_accelerator():
+        pytest.skip("needs an accelerator (trains via the real script)")
+    datadir = tmp_path / "data"
+    datadir.mkdir()
+    env = _clean_env(datadir)
+    env["AFLW2000_ZIP"] = _make_aflw2k_zip(str(tmp_path / "aflw2000.zip"))
+    env["W300LP_ZIP"] = _make_300wlp_zip(str(tmp_path / "300wlp.zip"))
+    env["EPOCHS"] = "1"
+    env["EXTRA_TRAIN_FLAGS"] = "--samples-per-epoch 128 --batchsize 16"
+    r = subprocess.run(
+        ["bash", join(_REPO, "scripts", "reproduce_paper.sh")],
+        capture_output=True, text=True, env=env, timeout=2400,
+    )
+    assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    results = json.loads((datadir / "aflw2k3d_results.json").read_text())
+    # schema: list of rows with the reference table's metric fields
+    assert results, results
+    row = results[0] if isinstance(results, list) else results
+    text = json.dumps(row)
+    assert "yaw" in text.lower() or "geo" in text.lower(), text
