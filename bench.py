@@ -45,7 +45,7 @@ def orchestrate():
     """Try configs best->cheapest, each as a subprocess with a timeout."""
     import subprocess
 
-    for batch, scan, budget in ((512, 8, 540), (512, 1, 480), (256, 4, 420), (128, 1, 600)):
+    for batch, scan, budget in ((512, 16, 540), (512, 8, 540), (512, 1, 480), (256, 4, 420), (128, 1, 600)):
         env = dict(os.environ, BENCH_BATCH=str(batch), BENCH_SCAN=str(scan))
         try:
             out = subprocess.run(
