@@ -178,6 +178,20 @@ def warp_roi_rotate(
     B, H, W, C = images.shape
     S = int(out_size)
 
+    if do_flip is not None:
+        # Fold the horizontal flip into the resample parameters instead of a
+        # post-warp select pass: flipping the crop equals sampling x along the
+        # REVERSED roi range (x1 -> x0, negative scale — `_resample_weights`
+        # and the Pallas kernel only ever use |scale|), with the in-plane
+        # rotation negated (F∘R(φ) = R(−φ)∘F; the canvas reversal is a
+        # reflection about the shear center, so the center crop commutes).
+        # Saves a full (B, S, S) select pass per step (docs/PERFORMANCE.md).
+        x0f = jnp.where(do_flip, view_roi[:, 2], view_roi[:, 0])
+        x1f = jnp.where(do_flip, view_roi[:, 0], view_roi[:, 2])
+        view_roi = jnp.stack([x0f, view_roi[:, 1], x1f, view_roi[:, 3]], axis=-1)
+        angles = jnp.where(do_flip, -angles, angles)
+        do_flip = None
+
     impl = os.environ.get("NNTC_WARP_IMPL", "auto")
     if impl != "xla" and C == 1 and (impl == "pallas" or jax.default_backend() != "cpu"):
         from neuralnet_tracker_traincode_tpu.augmentation.warp_pallas import (
