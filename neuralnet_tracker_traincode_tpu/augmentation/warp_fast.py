@@ -152,6 +152,14 @@ def apply_fliprot(
     return x
 
 
+def _masked_transpose(crop: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    """Per-sample transpose of the square (B, S, S, C) crop where mask holds
+    — the residue of the folded ±90° rotations (see `warp_roi_rotate`)."""
+    if mask is None:
+        return crop
+    return jnp.where(mask[:, None, None, None], jnp.swapaxes(crop, 1, 2), crop)
+
+
 def warp_roi_rotate(
     images: jax.Array,  # (B, H, W, C) uint8/float
     view_roi: jax.Array,  # (B, 4) x0 y0 x1 y1 source pixels (square)
@@ -178,19 +186,35 @@ def warp_roi_rotate(
     B, H, W, C = images.shape
     S = int(out_size)
 
-    if do_flip is not None:
-        # Fold the horizontal flip into the resample parameters instead of a
-        # post-warp select pass: flipping the crop equals sampling x along the
+    transpose_mask = None
+    if do_flip is not None or rot_dir is not None:
+        # Fold flip/rot90 into the resample parameters instead of post-warp
+        # permutation passes. A horizontal flip equals sampling x along the
         # REVERSED roi range (x1 -> x0, negative scale — `_resample_weights`
         # and the Pallas kernel only ever use |scale|), with the in-plane
         # rotation negated (F∘R(φ) = R(−φ)∘F; the canvas reversal is a
         # reflection about the shear center, so the center crop commutes).
-        # Saves a full (B, S, S) select pass per step (docs/PERFORMANCE.md).
-        x0f = jnp.where(do_flip, view_roi[:, 2], view_roi[:, 0])
-        x1f = jnp.where(do_flip, view_roi[:, 0], view_roi[:, 2])
-        view_roi = jnp.stack([x0f, view_roi[:, 1], x1f, view_roi[:, 3]], axis=-1)
-        angles = jnp.where(do_flip, -angles, angles)
-        do_flip = None
+        # The ±90° rotations decompose into transpose ∘ axis-flip in
+        # `apply_fliprot`'s convention (rot+90 = T∘flip_y, rot−90 = T∘flip_x),
+        # so their flip halves fold the same way (composing with do_flip) and
+        # only a per-sample conditional TRANSPOSE of the crop remains — one
+        # pass instead of the old flip select + transpose + two reversed
+        # selects (docs/PERFORMANCE.md).
+        Bv = view_roi.shape[0]
+        flip = do_flip if do_flip is not None else jnp.zeros((Bv,), bool)
+        rd = rot_dir if rot_dir is not None else jnp.zeros((Bv,), jnp.float32)
+        swap_x = jnp.logical_xor(flip, rd < 0)
+        swap_y = rd > 0
+        negate = jnp.logical_xor(flip, rd != 0)
+        x0f = jnp.where(swap_x, view_roi[:, 2], view_roi[:, 0])
+        x1f = jnp.where(swap_x, view_roi[:, 0], view_roi[:, 2])
+        y0f = jnp.where(swap_y, view_roi[:, 3], view_roi[:, 1])
+        y1f = jnp.where(swap_y, view_roi[:, 1], view_roi[:, 3])
+        view_roi = jnp.stack([x0f, y0f, x1f, y1f], axis=-1)
+        angles = jnp.where(negate, -angles, angles)
+        if rot_dir is not None:
+            transpose_mask = rd != 0
+        do_flip = rot_dir = None
 
     impl = os.environ.get("NNTC_WARP_IMPL", "auto")
     if impl != "xla" and C == 1 and (impl == "pallas" or jax.default_backend() != "cpu"):
@@ -207,7 +231,7 @@ def warp_roi_rotate(
             skip_rotation=skip_rotation,
             interpret=jax.default_backend() == "cpu",
         )[..., None]
-        return apply_fliprot(crop, do_flip, rot_dir)
+        return _masked_transpose(crop, transpose_mask)
     if skip_rotation:
         CS = S
         m = 0.0
@@ -254,4 +278,4 @@ def warp_roi_rotate(
         chans = [ch[:, lo : lo + S, lo : lo + S] for ch in chans]
 
     crop = jnp.stack(chans, axis=-1)
-    return apply_fliprot(crop, do_flip, rot_dir)
+    return _masked_transpose(crop, transpose_mask)
