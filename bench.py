@@ -45,7 +45,9 @@ def orchestrate():
     """Try configs best->cheapest, each as a subprocess with a timeout."""
     import subprocess
 
-    for batch, scan, budget in ((512, 16, 540), (512, 8, 540), (512, 1, 480), (256, 4, 420), (128, 1, 600)):
+    # b1024 was tried and dropped: its XLA:TPU compile exceeds 30 min through
+    # the tunnel (see docs/PERFORMANCE.md "Compile-time scaling").
+    for batch, scan, budget in ((512, 32, 600), (512, 16, 540), (512, 8, 540), (512, 1, 480), (256, 4, 420), (128, 1, 600)):
         env = dict(os.environ, BENCH_BATCH=str(batch), BENCH_SCAN=str(scan))
         try:
             out = subprocess.run(
