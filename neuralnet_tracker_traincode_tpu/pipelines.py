@@ -178,7 +178,11 @@ def make_aflw2k3d_datasets(transform=None):
     ds = Hdf5PoseDataset(
         join(_datadir(), "aflw2k.h5"), transform=transform, dataclass=Tag.POSE_WITH_LANDMARKS
     )
-    return Subset(ds, np.arange(400, len(ds))), Subset(ds, np.arange(400))
+    # First 400 rows are the held-out split (`pipelines.py:380` in the
+    # reference); clamped so miniature stand-in files (synthetic rehearsals,
+    # aflw2kmini) can drive the full protocol without indexing past the end.
+    n_test = min(400, len(ds))
+    return Subset(ds, np.arange(n_test, len(ds))), Subset(ds, np.arange(n_test))
 
 
 def make_300wlp_dataset(transform=None):
