@@ -154,7 +154,11 @@ def _stage1_op(op_id: jax.Array, key: jax.Array, x: jax.Array) -> jax.Array:
 
             m = jax.random.bernoulli(k_mask, 0.2, (B,))
             flat = x[..., 0].reshape(B, -1)
-            return equalize_pallas(flat, m).reshape(x.shape)
+            # NNTC_EQUALIZE_IMPL=pallas on a CPU backend runs the kernel in
+            # interpret mode (no Mosaic lowering exists there).
+            return equalize_pallas(
+                flat, m, interpret=jax.default_backend() == "cpu"
+            ).reshape(x.shape)
         return gated(0.2, lambda: equalize(x))
 
     def do_posterize(x):
@@ -225,12 +229,29 @@ def intensity_augmentation_noise(key: jax.Array, images: jax.Array) -> jax.Array
     if impl != "xla" and images.shape[-1] == 1 and (
         impl == "pallas" or jax.default_backend() != "cpu"
     ):
+        if jax.default_backend() == "cpu":
+            # The hardware-PRNG primitives (pltpu.prng_seed/prng_random_bits)
+            # have no CPU interpret rule; the kernel MATH is CPU-covered via
+            # the injected-bits variant (tests/test_noise_pallas.py).
+            raise ValueError(
+                "NNTC_NOISE_IMPL=pallas requires a TPU backend: the noise "
+                "kernel uses the TPU hardware PRNG, which cannot run or be "
+                "interpreted on CPU. Use NNTC_NOISE_IMPL=xla (or auto)."
+            )
         from neuralnet_tracker_traincode_tpu.augmentation.noise_pallas import (
             add_gaussian_noise_pallas,
         )
 
-        seeds = jax.random.bits(k_noise, (B,), jnp.uint32).astype(jnp.int32)
-        return add_gaussian_noise_pallas(images[..., 0], seeds, sigma_combined)[..., None]
+        # One 32-bit draw + arange instead of B independent draws: B
+        # independent seeds collide within a batch at ~B^2/2^33 per step
+        # (~1 expected per 30k steps at b512), handing two samples the same
+        # hardware-PRNG noise field. base + i is still key-deterministic
+        # and collision-free within the batch by construction.
+        base = jax.random.bits(k_noise, (), jnp.uint32)
+        seeds = (base + jnp.arange(B, dtype=jnp.uint32)).astype(jnp.int32)
+        return add_gaussian_noise_pallas(
+            images[..., 0], seeds, sigma_combined
+        )[..., None]
     # bf16 normals: half the threefry bit generation (the dominant cost of
     # this stage at b512: 2.8 ms -> ~1.4 ms); bf16's ~2.8 significant digits
     # are far below the smallest sigma (4/255), so the noise statistics are

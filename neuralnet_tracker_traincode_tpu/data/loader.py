@@ -56,6 +56,10 @@ LABEL_CATEGORIES = {
 
 from neuralnet_tracker_traincode_tpu.utils import ceil_to_multiple as _bucket
 
+# Per-slot header in the shared-memory image ring: an int64 producer-seq
+# stamp the consumer asserts around its copy-out (see _process_worker_main).
+_SHM_STAMP_BYTES = 8
+
 
 def pack_fused_batch(
     samples: Sequence[Batch],
@@ -219,11 +223,16 @@ def _process_worker_main(ds, in_q, out_q, batchsize, pad_size, decode_threads,
     slot of that shared-memory ring instead of being pickled through the mp
     queue (the reference's own workers used pinned shared memory,
     `/root/reference/trackertraincode/datatransformation/loader.py:37-45`);
-    the queue message then carries (slot, shape, dtype, labels). Slot reuse
-    is bounded by queue backpressure: at most qsize + 1 (blocked put) + 1
-    (being produced) batches can be outstanding beyond the one the consumer
-    copies out on get(), so `shm_slots = qsize + 3` can never lap. Batches
-    whose padding outgrew the slot (allow_pad_growth) fall back to pickling.
+    the queue message then carries (slot, seq, shape, dtype, labels). Slot
+    reuse is bounded by queue backpressure: at most qsize + 1 (blocked put)
+    + 1 (being produced) batches can be outstanding beyond the one the
+    consumer copies out on get(), so `shm_slots = qsize + 3` can never lap.
+    Each slot additionally starts with an int64 producer-seq stamp, written
+    BEFORE the image bytes; the consumer asserts it against the message seq
+    on both sides of its copy-out, so a future change that breaks the
+    no-lap bound (deferred unpack, consumer-side buffering) fails loudly
+    instead of silently corrupting images. Batches whose padding outgrew
+    the slot (allow_pad_growth) fall back to pickling.
     """
     # Never let worker subprocesses grab an accelerator (pack_fused_batch is
     # passed allow_pad_growth explicitly, so jax is not even imported).
@@ -237,7 +246,7 @@ def _process_worker_main(ds, in_q, out_q, batchsize, pad_size, decode_threads,
             from multiprocessing import shared_memory
 
             shm = shared_memory.SharedMemory(name=shm_name)
-            slot_bytes = shm.size // shm_slots
+            slot_bytes = shm.size // shm_slots - _SHM_STAMP_BYTES
         seq = 0
 
         def orphaned() -> bool:
@@ -284,11 +293,20 @@ def _process_worker_main(ds, in_q, out_q, batchsize, pad_size, decode_threads,
                 and img.nbytes <= slot_bytes
             ):
                 slot = seq % shm_slots
-                dst = np.ndarray(img.shape, img.dtype,
-                                 buffer=shm.buf, offset=slot * slot_bytes)
+                stride = slot_bytes + _SHM_STAMP_BYTES
+                # Stamp-first write order: the consumer re-reads the stamp
+                # on both sides of its copy-out, so a lap (a future bug that
+                # breaks the qsize+3 no-lap bound) corrupts loudly, never
+                # silently — the stamp flips to the lapping seq before any
+                # image byte of the new batch lands.
+                stamp = np.ndarray((), np.int64, buffer=shm.buf,
+                                   offset=slot * stride)
+                stamp[...] = seq
+                dst = np.ndarray(img.shape, img.dtype, buffer=shm.buf,
+                                 offset=slot * stride + _SHM_STAMP_BYTES)
                 dst[...] = img
                 rest = {k: v for k, v in batch.items() if k != "image"}
-                item = ("shm", slot, img.shape, img.dtype.str, rest)
+                item = ("shm", slot, seq, img.shape, img.dtype.str, rest)
             else:
                 item = batch
             seq += 1
@@ -523,10 +541,13 @@ class FusedBatchLoader:
             # Slots sized for C=1 uint8 (every pose dataset here); larger
             # images (multi-channel, grown padding) are caught by
             # nbytes > slot_bytes in the worker and fall back to pickling.
+            # Each slot carries an 8-byte producer-seq stamp header that the
+            # consumer asserts around its copy-out (lap detector).
             slot_bytes = self.batchsize * self.pad_size * self.pad_size
+            stride = slot_bytes + _SHM_STAMP_BYTES
             for _ in range(W):
                 shms.append(shared_memory.SharedMemory(
-                    create=True, size=slot_bytes * shm_slots))
+                    create=True, size=stride * shm_slots))
         procs = [
             ctx.Process(
                 target=_process_worker_main,
@@ -603,14 +624,31 @@ class FusedBatchLoader:
                     pass
 
         def unpack(w, item):
-            if isinstance(item, tuple) and len(item) == 5 and item[0] == "shm":
-                _, slot, shape, dtype, batch = item
-                slot_bytes = shms[w].size // shm_slots
-                view = np.ndarray(shape, np.dtype(dtype),
-                                  buffer=shms[w].buf, offset=slot * slot_bytes)
+            if isinstance(item, tuple) and len(item) == 6 and item[0] == "shm":
+                _, slot, seq, shape, dtype, batch = item
+                stride = shms[w].size // shm_slots
+                stamp = np.ndarray((), np.int64, buffer=shms[w].buf,
+                                   offset=slot * stride)
+                view = np.ndarray(shape, np.dtype(dtype), buffer=shms[w].buf,
+                                  offset=slot * stride + _SHM_STAMP_BYTES)
                 # Copy out before yielding: the slot may be rewritten as soon
                 # as the worker's queue drains (ring-reuse contract above).
+                # The stamp is checked on BOTH sides of the copy: the worker
+                # writes stamp-then-image, so a lap flips the stamp before
+                # any new image byte lands — either check firing means the
+                # qsize+3 no-lap bound was broken by a future change, and we
+                # fail loudly instead of training on torn images.
+                if int(stamp) != seq:
+                    raise RuntimeError(
+                        f"shm ring lapped: worker {w} slot {slot} holds seq "
+                        f"{int(stamp)}, expected {seq} (pre-copy)"
+                    )
                 batch["image"] = np.array(view)
+                if int(stamp) != seq:
+                    raise RuntimeError(
+                        f"shm ring lapped during copy-out: worker {w} slot "
+                        f"{slot} now holds seq {int(stamp)}, expected {seq}"
+                    )
                 return batch
             return item
 

@@ -286,8 +286,13 @@ def main():
         # Dispatch latency dominates small-batch steps (~7 ms/dispatch
         # through a tunneled runtime, docs/PERFORMANCE.md); the reference's
         # own training regime is bs 64. CPU runs keep K=1 (no dispatch gap,
-        # and the scan would only slow compile).
-        K = 8 if (args.batchsize <= 128 and jax.default_backend() != "cpu") else 1
+        # and the scan would only slow compile). The auto pick is the
+        # largest of 8/4/2 that divides steps_per_epoch so the default run
+        # takes EXACTLY the reference protocol's optimizer-step count —
+        # only an explicit --steps-per-dispatch may round the epoch down.
+        K = 1
+        if args.batchsize <= 128 and jax.default_backend() != "cpu":
+            K = next((k for k in (8, 4, 2) if cfg.steps_per_epoch % k == 0), 1)
         if K > 1:
             print(f"auto --steps-per-dispatch {K} (batch {args.batchsize})")
     if K > 1:

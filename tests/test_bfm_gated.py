@@ -192,9 +192,17 @@ def test_vis3d_gating(bfm_pkl, monkeypatch):
     monkeypatch.setenv("BFM_PATH", bfm_pkl)
     model = vis3d._require_full_mesh()
     assert model.vertexcount == NUM_VERTS
+    # the software rasterizer backend needs no pyrender; construction works
+    # with just the blob, but rendering needs the mesh triangulation
+    # (assets/tri.pkl, a separate non-distributable artifact).
+    from scipy.spatial.transform import Rotation
+
+    render = vis3d.FaceRender()
+    with pytest.raises(AssertionError, match="tri.pkl"):
+        render.set((0.0, 0.0), 1.0, Rotation.identity(), np.zeros(50), (32, 32))
     if "pyrender" not in sys.modules:
         with pytest.raises(ModuleNotFoundError):
-            vis3d.FaceRender()
+            vis3d.FaceRender(backend="pyrender")
 
 
 def test_closed_eyes_converter_with_stubbed_package(monkeypatch, tmp_path):
