@@ -47,7 +47,11 @@ def orchestrate():
 
     # b1024 was tried and dropped: its XLA:TPU compile exceeds 30 min through
     # the tunnel (see docs/PERFORMANCE.md "Compile-time scaling").
-    for batch, scan, budget in ((512, 32, 600), (512, 16, 540), (512, 8, 540), (512, 1, 480), (256, 4, 420), (128, 1, 600)):
+    # scan-16 leads: it measured FASTER than scan-32 (15,694 vs 15,681
+    # img/s/chip, round 4) and fits its budget with a cold compile cache,
+    # while scan-32's compile reliably blew the 600 s budget cold — the
+    # round-4 bench spent its first attempt on a guaranteed fallback.
+    for batch, scan, budget in ((512, 16, 600), (512, 32, 540), (512, 8, 540), (512, 1, 480), (256, 4, 420), (128, 1, 600)):
         env = dict(os.environ, BENCH_BATCH=str(batch), BENCH_SCAN=str(scan))
         try:
             out = subprocess.run(

@@ -55,25 +55,35 @@ ang = jnp.asarray(rng.uniform(-np.radians(theta), np.radians(theta), B), jnp.flo
 do_flip = jnp.asarray(rng.rand(B) < 0.5)
 rot_dir = jnp.asarray(rng.choice([-1.0, 0.0, 1.0], B), jnp.float32)
 
+# The XLA oracle must run at f32 matmul precision: at the TPU DEFAULT
+# (bf16) its einsums truncate the f32 resample weights to 8 significand
+# bits, which alone moves outputs by up to ~255 * 2^-9 ~ 1 gray level —
+# that is oracle noise, not kernel error (the round-4 red gate: delta
+# 1.0019 on skip_rotation was exactly this). The Pallas kernel always
+# accumulates f32 (preferred_element_type), so the comparison is only
+# meaningful against an f32-precision oracle.
 os.environ["NNTC_WARP_IMPL"] = "xla"
-ref = np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
-    img, roi, ang, S, theta, do_flip=do_flip, rot_dir=rot_dir)))
+with jax.default_matmul_precision("float32"):
+    ref = np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
+        img, roi, ang, S, theta, do_flip=do_flip, rot_dir=rot_dir)))
 os.environ["NNTC_WARP_IMPL"] = "pallas"
 out = np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
     img, roi, ang, S, theta, do_flip=do_flip, rot_dir=rot_dir)))
 d = np.abs(ref - out)
 print("WARPMAX", float(d.max()), "WARPMEAN", float(d.mean()))
-assert d.max() < 1.0 and d.mean() < 0.02, (d.max(), d.mean())
+assert d.max() < 0.25 and d.mean() < 0.005, (d.max(), d.mean())
 
 # skip_rotation path too (deterministic configs)
 os.environ["NNTC_WARP_IMPL"] = "xla"
-ref = np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
-    img, roi, ang * 0, S, theta, skip_rotation=True)))
+with jax.default_matmul_precision("float32"):
+    ref = np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
+        img, roi, ang * 0, S, theta, skip_rotation=True)))
 os.environ["NNTC_WARP_IMPL"] = "pallas"
 out = np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
     img, roi, ang * 0, S, theta, skip_rotation=True)))
 d = np.abs(ref - out)
-assert d.max() < 1.0, d.max()
+print("SKIPMAX", float(d.max()))
+assert d.max() < 0.25, d.max()
 print("OK")
 """ % (_REPO,)
 

@@ -2,10 +2,14 @@
 against the portable XLA formulation (`warp_fast.warp_roi_rotate`).
 
 Runs in Pallas interpret mode on the CPU test platform; the SAME kernel code
-compiles on TPU (exercised by the train-step drives and bench). Tolerance is
-~1 intensity unit: both paths compute identical math, but matmul backends
-may accumulate in bf16 (XLA:CPU avx512-bf16, TPU default precision), so
-bit-equality is not the contract — see docs/PERFORMANCE.md.
+compiles on TPU (exercised by `tests/test_pallas_on_device.py` against an
+f32-matmul-precision XLA oracle). On CPU both paths accumulate full f32, so
+the contract here is tight (~0.02 gray levels of reassociation noise,
+measured 0.004); on device the oracle MUST pin
+jax.default_matmul_precision('float32') — at the TPU default (bf16) the
+oracle's einsums truncate the f32 resample weights to 8 significand bits,
+which alone moves outputs by ~255 * 2^-9 ~ 1 gray level (the round-4 red
+gate) — see docs/PERFORMANCE.md.
 """
 
 import os
@@ -48,7 +52,7 @@ def test_pallas_matches_xla(skip_rotation):
                                skip_rotation=skip_rotation, interpret=True)
     )
     d = np.abs(ref - out)
-    assert d.max() < 1.0 and d.mean() < 0.02, (d.max(), d.mean())
+    assert d.max() < 0.02 and d.mean() < 0.002, (d.max(), d.mean())
 
 
 def test_dispatcher_uses_pallas_when_forced():
@@ -64,7 +68,7 @@ def test_dispatcher_uses_pallas_when_forced():
     finally:
         os.environ.pop("NNTC_WARP_IMPL", None)
     d = np.abs(np.asarray(ref) - np.asarray(out))
-    assert d.max() < 1.0, d.max()
+    assert d.max() < 0.02, d.max()
 
 
 def test_multichannel_falls_back_to_xla():
