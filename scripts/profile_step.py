@@ -225,9 +225,88 @@ def section_model():
     print(f"model fwd+bwd:   {tg*1e3:.2f} ms")
 
 
+def section_layout():
+    """NHWC vs NCHW per-layer conv timing + stem input-channel padding.
+
+    VERDICT r4 weak #5: the two unexplored perf hypotheses on the model
+    program. Times every distinct MobileNetV1 conv shape (b512, 129^2 input)
+    fwd and fwd+bwd under both feature layouts, and the 1-channel stem vs an
+    8-channel zero-padded stem (checkpoint-convertible: pad weights on load,
+    slice on save — numerically identical up to fp). Projected whole-model
+    deltas are the shape-count-weighted sums.
+    """
+    rng = np.random.RandomState(0)
+
+    def conv(x, w, stride, dn, groups=1):
+        pad = [(w.shape[0] // 2, w.shape[0] // 2)] * 2
+        return jax.lax.conv_general_dilated(
+            x, w, (stride, stride), pad, dimension_numbers=dn,
+            feature_group_count=groups,
+        )
+
+    def time_pair(S, cin, cout, k, stride, groups, count):
+        """Returns {(layout): (fwd_ms, fwdbwd_ms)} for one conv shape."""
+        res = {}
+        for layout in ("NHWC", "NCHW"):
+            if layout == "NHWC":
+                dn = ("NHWC", "HWIO", "NHWC")
+                xs = (B, S, S, cin)
+            else:
+                dn = ("NCHW", "HWIO", "NCHW")
+                xs = (B, cin, S, S)
+            ws = (k, k, cin // groups, cout)
+            x = jnp.asarray(rng.rand(*xs), jnp.float32)
+            w = jnp.asarray(rng.rand(*ws) * 0.01, jnp.float32)
+            f = jax.jit(lambda x, w: conv(x, w, stride, dn, groups))
+            tf = slope(f, lambda i: (x + i * 1e-6, w))
+            # sum(y**2): a data-dependent cotangent (sum(y) constant-folds the
+            # backward — see docs/PERFORMANCE.md methodology).
+            g = jax.jit(jax.grad(lambda w, x: jnp.sum(conv(x, w, stride, dn, groups) ** 2)))
+            tg = slope(g, lambda i: (w + i * 1e-6, x))
+            res[layout] = (tf * 1e3, tg * 1e3)
+        return res
+
+    # (S_in, cin, cout, k, stride, groups, occurrences) — every distinct
+    # MobileNetV1 conv shape at width 1.0 (mobilenet_v1.py:90-116).
+    shapes = [
+        ("stem 5x5 s2", 129, 1, 32, 5, 2, 1, 1),
+        ("stem 5x5 s2 pad8", 129, 8, 32, 5, 2, 1, 1),
+        ("dw 65^2 c32", 65, 32, 32, 3, 1, 32, 1),
+        ("pw 65^2 32->64", 65, 32, 64, 1, 1, 1, 1),
+        ("dw 65^2 c64 s2", 65, 64, 64, 3, 2, 64, 1),
+        ("pw 33^2 64->128", 33, 64, 128, 1, 1, 1, 1),
+        ("dw 33^2 c128", 33, 128, 128, 3, 1, 128, 1),
+        ("pw 33^2 128->128", 33, 128, 128, 1, 1, 1, 1),
+        ("dw 33^2 c128 s2", 33, 128, 128, 3, 2, 128, 1),
+        ("pw 17^2 128->256", 17, 128, 256, 1, 1, 1, 1),
+        ("dw 17^2 c256", 17, 256, 256, 3, 1, 256, 1),
+        ("pw 17^2 256->256", 17, 256, 256, 1, 1, 1, 1),
+        ("dw 17^2 c256 s2", 17, 256, 256, 3, 2, 256, 1),
+        ("pw 9^2 256->512", 9, 256, 512, 1, 1, 1, 1),
+        ("dw 9^2 c512", 9, 512, 512, 3, 1, 512, 5),
+        ("pw 9^2 512->512", 9, 512, 512, 1, 1, 1, 5),
+        ("dw 9^2 c512 s2", 9, 512, 512, 3, 2, 512, 1),
+        ("pw 5^2 512->1024", 5, 512, 1024, 1, 1, 1, 1),
+        ("dw 5^2 c1024", 5, 1024, 1024, 3, 1, 1024, 1),
+        ("pw 5^2 1024->1024", 5, 1024, 1024, 1, 1, 1, 1),
+    ]
+    tot = {"NHWC": [0.0, 0.0], "NCHW": [0.0, 0.0]}
+    print(f"{'layer':24} {'NHWC f/fb ms':>16} {'NCHW f/fb ms':>16}")
+    for name, S, cin, cout, k, stride, groups, count in shapes:
+        r = time_pair(S, cin, cout, k, stride, groups, count)
+        print(f"{name:24} {r['NHWC'][0]:7.3f}/{r['NHWC'][1]:7.3f} "
+              f"{r['NCHW'][0]:7.3f}/{r['NCHW'][1]:7.3f}  x{count}")
+        if "pad8" not in name:  # the padded stem is an alternative, not additive
+            for lay in tot:
+                tot[lay][0] += r[lay][0] * count
+                tot[lay][1] += r[lay][1] * count
+    for lay, (f, fb) in tot.items():
+        print(f"TOTAL {lay}: fwd {f:.2f} ms, fwd+bwd {fb:.2f} ms")
+
+
 if __name__ == "__main__":
     want = set(sys.argv[1:]) or {"step"}
-    for name in ("dwconv", "aug", "model", "step"):
+    for name in ("dwconv", "aug", "model", "step", "layout"):
         if name in want:
             print(f"== {name} (batch {B}) ==")
             globals()[f"section_{name}"]()
