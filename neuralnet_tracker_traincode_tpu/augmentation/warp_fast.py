@@ -230,6 +230,9 @@ def warp_roi_rotate(
             theta_max_deg,
             skip_rotation=skip_rotation,
             interpret=jax.default_backend() == "cpu",
+            # "float32" = multi-pass f32 MXU dots; used by the on-device
+            # equality gate to remove bf16 truncation from the comparison.
+            precision=os.environ.get("NNTC_WARP_PRECISION", "default"),
         )[..., None]
         return _masked_transpose(crop, transpose_mask)
     if skip_rotation:

@@ -89,7 +89,8 @@ def _barrel_shear_cols(x, coef, c0: float, m: int):
     return out[:H, :]
 
 
-def _warp_kernel(params_ref, img_ref, out_ref, *, H, W, S, CS, m1, m2, rotate, G):
+def _warp_kernel(params_ref, img_ref, out_ref, *, H, W, S, CS, m1, m2, rotate, G,
+                 precision):
     """G samples per grid step; params is the FULL (B, 8) f32 array in SMEM
     (blocked SMEM specs are rejected by the Mosaic lowering), row-indexed by
     program id: [y0', sy, x0', sx, a, b, _, _].
@@ -108,9 +109,11 @@ def _warp_kernel(params_ref, img_ref, out_ref, *, H, W, S, CS, m1, m2, rotate, G
 
         img = img_ref[i].astype(jnp.float32)  # (H, W); input is bf16 (see caller)
         wy = _tri_weights(ystart, sy, CS, H)  # (CS, H)
-        mid = jnp.dot(wy, img, preferred_element_type=jnp.float32)  # (CS, W)
+        mid = jnp.dot(wy, img, preferred_element_type=jnp.float32,
+                      precision=precision)  # (CS, W)
         wxt = _tri_weights(xstart, sx, CS, W).T  # (W, CS)
-        canvas = jnp.dot(mid, wxt, preferred_element_type=jnp.float32)  # (CS, CS)
+        canvas = jnp.dot(mid, wxt, preferred_element_type=jnp.float32,
+                         precision=precision)  # (CS, CS)
 
         if rotate:
             a = params_ref[row, 4]
@@ -125,7 +128,7 @@ def _warp_kernel(params_ref, img_ref, out_ref, *, H, W, S, CS, m1, m2, rotate, G
             out_ref[i] = canvas
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "theta_max_deg", "skip_rotation", "interpret"))
+@functools.partial(jax.jit, static_argnames=("out_size", "theta_max_deg", "skip_rotation", "interpret", "precision"))
 def warp_roi_rotate_pallas(
     images: jax.Array,  # (B, H, W) uint8/float — single channel
     view_roi: jax.Array,  # (B, 4)
@@ -134,9 +137,17 @@ def warp_roi_rotate_pallas(
     theta_max_deg: float,
     skip_rotation: bool = False,
     interpret: bool = False,
+    precision: str = "default",
 ) -> jax.Array:
     """Fused-kernel equivalent of `warp_fast.warp_roi_rotate` (pre-fliprot),
-    returning (B, S, S) float32."""
+    returning (B, S, S) float32.
+
+    `precision` selects the MXU mode for the two resample dots:
+    "default" (production — weights truncate to bf16 in the systolic array,
+    ≤ ~255 * 2^-8 per pass against exact arithmetic) or "float32" (multi-pass
+    f32 — used by the on-device equality gate `tests/test_pallas_on_device.py`
+    to compare against the XLA oracle under
+    `jax.default_matmul_precision("float32")` at a tight tolerance)."""
     B, H, W = images.shape
     S = int(out_size)
     # Mosaic has no uint8->float cast; bf16 carries 0..255 exactly and keeps
@@ -174,8 +185,10 @@ def warp_roi_rotate_pallas(
     # Largest sample block that divides B (bounded by VMEM: the G-sample
     # input block is G*H*W*2 B, double-buffered by the pipeline).
     G = next(g for g in (8, 4, 2, 1) if B % g == 0)
+    prec = {"default": None, "float32": jax.lax.Precision.HIGHEST}[precision]
     kernel = functools.partial(
-        _warp_kernel, H=H, W=W, S=S, CS=CS, m1=m1, m2=m2, rotate=not skip_rotation, G=G
+        _warp_kernel, H=H, W=W, S=S, CS=CS, m1=m1, m2=m2, rotate=not skip_rotation, G=G,
+        precision=prec,
     )
     return pl.pallas_call(
         kernel,

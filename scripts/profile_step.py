@@ -255,14 +255,17 @@ def section_layout():
                 dn = ("NCHW", "HWIO", "NCHW")
                 xs = (B, cin, S, S)
             ws = (k, k, cin // groups, cout)
-            x = jnp.asarray(rng.rand(*xs), jnp.float32)
-            w = jnp.asarray(rng.rand(*ws) * 0.01, jnp.float32)
+            # bf16, matching the model program's dtype (posenet dtype=bfloat16)
+            x = jnp.asarray(rng.rand(*xs), jnp.bfloat16)
+            w = jnp.asarray(rng.rand(*ws) * 0.01, jnp.bfloat16)
             f = jax.jit(lambda x, w: conv(x, w, stride, dn, groups))
-            tf = slope(f, lambda i: (x + i * 1e-6, w))
+            # multiplicative perturbation >= bf16 ulp (additive 1e-6 vanishes)
+            tf = slope(f, lambda i: (x * (1 + jnp.bfloat16(i * 1e-2)), w))
             # sum(y**2): a data-dependent cotangent (sum(y) constant-folds the
             # backward — see docs/PERFORMANCE.md methodology).
-            g = jax.jit(jax.grad(lambda w, x: jnp.sum(conv(x, w, stride, dn, groups) ** 2)))
-            tg = slope(g, lambda i: (w + i * 1e-6, x))
+            g = jax.jit(jax.grad(lambda w, x: jnp.sum(
+                conv(x, w, stride, dn, groups).astype(jnp.float32) ** 2)))
+            tg = slope(g, lambda i: (w * (1 + jnp.bfloat16(i * 1e-2)), x))
             res[layout] = (tf * 1e3, tg * 1e3)
         return res
 

@@ -63,35 +63,38 @@ ang = jnp.asarray(rng.uniform(-np.radians(theta), np.radians(theta), B), jnp.flo
 do_flip = jnp.asarray(rng.rand(B) < 0.5)
 rot_dir = jnp.asarray(rng.choice([-1.0, 0.0, 1.0], B), jnp.float32)
 
-# The XLA oracle must run at f32 matmul precision: at the TPU DEFAULT
-# (bf16) its einsums truncate the f32 resample weights to 8 significand
-# bits, which alone moves outputs by up to ~255 * 2^-9 ~ 1 gray level —
-# that is oracle noise, not kernel error (the round-4 red gate: delta
-# 1.0019 on skip_rotation was exactly this). The Pallas kernel always
-# accumulates f32 (preferred_element_type), so the comparison is only
-# meaningful against an f32-precision oracle.
-os.environ["NNTC_WARP_IMPL"] = "xla"
-with jax.default_matmul_precision("float32"):
-    ref = np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
-        img, roi, ang, S, theta, do_flip=do_flip, rot_dir=rot_dir)))
-os.environ["NNTC_WARP_IMPL"] = "pallas"
-out = np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
-    img, roi, ang, S, theta, do_flip=do_flip, rot_dir=rot_dir)))
-d = np.abs(ref - out)
-print("WARPMAX", float(d.max()), "WARPMEAN", float(d.mean()))
-assert d.max() < 0.25 and d.mean() < 0.005, (d.max(), d.mean())
+# Two gates per path.  Gate A (tight, the real indexing/arithmetic gate):
+# BOTH sides at f32 matmul precision — the XLA oracle under
+# jax.default_matmul_precision("float32"), the Pallas kernel via
+# NNTC_WARP_PRECISION=float32 (multi-pass MXU dots).  Any disagreement
+# > 0.25 gray levels is a genuine defect, not fp mode mismatch.
+# Gate B (production envelope): the DEFAULT-precision kernel against the
+# same f32 oracle.  At default MXU precision both implementations truncate
+# the f32 resample weights to bf16 (8 significand bits) inside the systolic
+# array, costing up to ~255 * 2^-9 ~ 0.5 gray per resample pass, ~1.2
+# observed over the two passes — bounded at 2.0 max / 0.35 mean.  (The
+# round-4 red gate — delta 1.0019 vs a 1.0 tolerance — was exactly this
+# truncation measured default-vs-default with no f32 gate at all.)
+def run_warp(**kw):
+    return np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
+        img, roi, kw.pop("angles"), S, theta, **kw)))
 
-# skip_rotation path too (deterministic configs)
-os.environ["NNTC_WARP_IMPL"] = "xla"
-with jax.default_matmul_precision("float32"):
-    ref = np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
-        img, roi, ang * 0, S, theta, skip_rotation=True)))
-os.environ["NNTC_WARP_IMPL"] = "pallas"
-out = np.asarray(jax.device_get(warp_fast.warp_roi_rotate(
-    img, roi, ang * 0, S, theta, skip_rotation=True)))
-d = np.abs(ref - out)
-print("SKIPMAX", float(d.max()))
-assert d.max() < 0.25, d.max()
+for label, kw in (("rot", dict(angles=ang, do_flip=do_flip, rot_dir=rot_dir)),
+                  ("skip", dict(angles=ang * 0, skip_rotation=True))):
+    os.environ["NNTC_WARP_IMPL"] = "xla"
+    with jax.default_matmul_precision("float32"):
+        ref = run_warp(**dict(kw))
+    os.environ["NNTC_WARP_IMPL"] = "pallas"
+    os.environ["NNTC_WARP_PRECISION"] = "float32"
+    out = run_warp(**dict(kw))
+    d = np.abs(ref - out)
+    print(label, "F32MAX", float(d.max()), "F32MEAN", float(d.mean()))
+    assert d.max() < 0.25 and d.mean() < 0.005, (label, d.max(), d.mean())
+    os.environ["NNTC_WARP_PRECISION"] = "default"
+    out = run_warp(**dict(kw))
+    d = np.abs(ref - out)
+    print(label, "DEFMAX", float(d.max()), "DEFMEAN", float(d.mean()))
+    assert d.max() < 2.0 and d.mean() < 0.35, (label, d.max(), d.mean())
 print("OK")
 """ % (_REPO,)
 
