@@ -234,8 +234,18 @@ def section_layout():
     8-channel zero-padded stem (checkpoint-convertible: pad weights on load,
     slice on save — numerically identical up to fp). Projected whole-model
     deltas are the shape-count-weighted sums.
+
+    Methodology: per-layer costs here are ~0.03-3 ms — far below the ~2-7 ms
+    per-dispatch noise floor, so slope-over-dispatch is useless (a first cut
+    measured fwd > fwd+bwd). Each number is the CHAINED in-program marginal
+    (docs/PERFORMANCE.md round-4 refinement): K applications inside ONE jit,
+    serialized through a scalar accumulator folded into the WEIGHTS (cheap —
+    perturbing x would add a full read+write of the activation per link),
+    K=1 vs K=9 slope. The grad chain accumulates sum(y^2) so the cotangent
+    is dense and data-dependent (sum(y) lets XLA constant-fold the backward).
     """
     rng = np.random.RandomState(0)
+    K_LO, K_HI = 1, 9
 
     def conv(x, w, stride, dn, groups=1):
         pad = [(w.shape[0] // 2, w.shape[0] // 2)] * 2
@@ -243,6 +253,39 @@ def section_layout():
             x, w, (stride, stride), pad, dimension_numbers=dn,
             feature_group_count=groups,
         )
+
+    def chain_fwd(K, stride, dn, groups):
+        def run(x, w):
+            acc = jnp.float32(0.0)
+            for _ in range(K):
+                wk = jax.lax.optimization_barrier(
+                    w * (1 + acc * 1e-20).astype(w.dtype))
+                y = conv(x, wk, stride, dn, groups)
+                acc = jnp.sum(y.astype(jnp.float32))
+            return acc
+        return run
+
+    def chain_loss(K, stride, dn, groups):
+        def run(x, w):
+            acc = jnp.float32(0.0)
+            for _ in range(K):
+                wk = jax.lax.optimization_barrier(
+                    w * (1 + acc * 1e-20).astype(w.dtype))
+                y = conv(x, wk, stride, dn, groups)
+                acc = jnp.sum(y.astype(jnp.float32) ** 2) * 1e-6
+            return acc
+        return run
+
+    def chained_ms(make, x, w):
+        """(t[K_HI] - t[K_LO]) / (K_HI - K_LO) in ms, min of 2 rounds."""
+        fns = {K: jax.jit(make(K)) for K in (K_LO, K_HI)}
+        times = {}
+        for _ in range(2):
+            for K, f in fns.items():
+                t = slope(f, lambda i: (x * (1 + jnp.bfloat16(i * 1e-2)), w),
+                          n=max(4, REPS // 6))
+                times[K] = min(times.get(K, float("inf")), t)
+        return (times[K_HI] - times[K_LO]) / (K_HI - K_LO) * 1e3
 
     def time_pair(S, cin, cout, k, stride, groups, count):
         """Returns {(layout): (fwd_ms, fwdbwd_ms)} for one conv shape."""
@@ -258,15 +301,11 @@ def section_layout():
             # bf16, matching the model program's dtype (posenet dtype=bfloat16)
             x = jnp.asarray(rng.rand(*xs), jnp.bfloat16)
             w = jnp.asarray(rng.rand(*ws) * 0.01, jnp.bfloat16)
-            f = jax.jit(lambda x, w: conv(x, w, stride, dn, groups))
-            # multiplicative perturbation >= bf16 ulp (additive 1e-6 vanishes)
-            tf = slope(f, lambda i: (x * (1 + jnp.bfloat16(i * 1e-2)), w))
-            # sum(y**2): a data-dependent cotangent (sum(y) constant-folds the
-            # backward — see docs/PERFORMANCE.md methodology).
-            g = jax.jit(jax.grad(lambda w, x: jnp.sum(
-                conv(x, w, stride, dn, groups).astype(jnp.float32) ** 2)))
-            tg = slope(g, lambda i: (w * (1 + jnp.bfloat16(i * 1e-2)), x))
-            res[layout] = (tf * 1e3, tg * 1e3)
+            tf = chained_ms(lambda K: chain_fwd(K, stride, dn, groups), x, w)
+            tg = chained_ms(
+                lambda K: jax.grad(chain_loss(K, stride, dn, groups), argnums=(0, 1)),
+                x, w)
+            res[layout] = (tf, tg)
         return res
 
     # (S_in, cin, cout, k, stride, groups, occurrences) — every distinct
@@ -293,6 +332,10 @@ def section_layout():
         ("dw 5^2 c1024", 5, 1024, 1024, 3, 1, 1024, 1),
         ("pw 5^2 1024->1024", 5, 1024, 1024, 1, 1, 1, 1),
     ]
+    # PROF_LAYOUT_SHAPES=n caps the sweep (smoke tests / partial reruns;
+    # the persistent compile cache makes resuming cheap).
+    cap = int(os.environ.get("PROF_LAYOUT_SHAPES", len(shapes)))
+    shapes = shapes[:cap]
     tot = {"NHWC": [0.0, 0.0], "NCHW": [0.0, 0.0]}
     print(f"{'layer':24} {'NHWC f/fb ms':>16} {'NCHW f/fb ms':>16}")
     for name, S, cin, cout, k, stride, groups, count in shapes:
