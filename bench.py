@@ -47,11 +47,12 @@ def orchestrate():
 
     # b1024 was tried and dropped: its XLA:TPU compile exceeds 30 min through
     # the tunnel (see docs/PERFORMANCE.md "Compile-time scaling").
-    # scan-16 leads: it measured FASTER than scan-32 (15,694 vs 15,681
-    # img/s/chip, round 4) and fits its budget with a cold compile cache,
-    # while scan-32's compile reliably blew the 600 s budget cold — the
-    # round-4 bench spent its first attempt on a guaranteed fallback.
-    for batch, scan, budget in ((512, 16, 600), (512, 32, 540), (512, 8, 540), (512, 1, 480), (256, 4, 420), (128, 1, 600)):
+    # b128/scan-8 leads: the round-5 batch x K sweep measured it FASTEST of
+    # every config tried (18,550 img/s/chip vs 15,694 for the best b512
+    # config — per-image step cost is ~18% lower at b128 than b512, see
+    # docs/PERFORMANCE.md "Small-batch device rates"), and its cold compile
+    # fit a 600 s budget. b512/scan-16 is the fallback, then cheaper configs.
+    for batch, scan, budget in ((128, 8, 600), (512, 16, 600), (512, 8, 540), (256, 8, 480), (512, 1, 480), (128, 1, 600)):
         env = dict(os.environ, BENCH_BATCH=str(batch), BENCH_SCAN=str(scan))
         try:
             out = subprocess.run(
